@@ -1,0 +1,150 @@
+"""Over-segmentation solver tests on synthetic volumes."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from video_segment_tpu.core import oversegmentation as ov
+
+
+def _labels_np(res):
+    return np.asarray(res.label)
+
+
+def _params(**kw):
+    base = dict(min_region_size=1, schedule=(2, 32, 256, 2047),
+                max_rounds_per_level=8, max_final_rounds=16)
+    base.update(kw)
+    return ov.OversegParams(**base)
+
+
+def test_two_halves_merge():
+    h, w = 8, 16
+    vol = np.zeros((1, h, w, 3), np.float32)
+    vol[:, :, w // 2:] = 0.8
+    res = ov.oversegment(jnp.asarray(vol), params=_params())
+    lab = _labels_np(res)[0]
+    # Exactly two regions, split at the color boundary.
+    assert len(np.unique(lab[:, : w // 2])) == 1
+    assert len(np.unique(lab[:, w // 2:])) == 1
+    assert lab[0, 0] != lab[0, -1]
+
+
+def test_noise_tolerance_within_merge_threshold():
+    rng = np.random.default_rng(1)
+    h, w = 16, 16
+    vol = np.full((1, h, w, 3), 0.5, np.float32)
+    vol += rng.normal(0, 0.005, size=vol.shape).astype(np.float32)
+    res = ov.oversegment(jnp.asarray(vol), params=_params())
+    lab = _labels_np(res)[0]
+    assert len(np.unique(lab)) == 1
+
+
+def test_four_quadrants_distinct():
+    h, w = 12, 12
+    vol = np.zeros((1, h, w, 3), np.float32)
+    vol[:, : h // 2, : w // 2] = 0.1
+    vol[:, : h // 2, w // 2:] = 0.4
+    vol[:, h // 2:, : w // 2] = 0.7
+    vol[:, h // 2:, w // 2:] = 1.0
+    res = ov.oversegment(jnp.asarray(vol), params=_params())
+    lab = _labels_np(res)[0]
+    assert len(np.unique(lab)) == 4
+
+
+def test_min_region_size_forcing():
+    h, w = 16, 16
+    vol = np.zeros((1, h, w, 3), np.float32)
+    vol[0, 7:9, 7:9] = 1.0  # 4-pixel speckle, strongly different
+    res = ov.oversegment(jnp.asarray(vol), params=_params(min_region_size=8))
+    lab = _labels_np(res)[0]
+    # Speckle forced into surrounding region.
+    assert len(np.unique(lab)) == 1
+
+
+def test_temporal_coherence():
+    t, h, w = 3, 8, 8
+    vol = np.zeros((t, h, w, 3), np.float32)
+    vol[:, :, w // 2:] = 0.9
+    res = ov.oversegment(jnp.asarray(vol), params=_params())
+    lab = _labels_np(res)
+    # Regions span time: same label at a given side across frames.
+    assert len(np.unique(lab[:, :, : w // 2])) == 1
+    assert len(np.unique(lab[:, :, w // 2:])) == 1
+
+
+def test_constraints_same_id_merges_and_survives():
+    t, h, w = 2, 6, 8
+    vol = np.zeros((t, h, w, 3), np.float32)
+    vol[:, :, w // 2:] = 0.9
+    constraints = np.full((t, h, w), -1, np.int32)
+    constraints[0, :, : w // 2] = 0
+    constraints[0, :, w // 2:] = 1
+    res = ov.oversegment(jnp.asarray(vol),
+                         constraints=jnp.asarray(constraints),
+                         params=_params())
+    lab = _labels_np(res)
+    constr = np.asarray(res.constr)
+    left_root = lab[1, 0, 0]
+    right_root = lab[1, 0, -1]
+    assert left_root != right_root
+    assert constr[left_root] == 0
+    assert constr[right_root] == 1
+
+
+def test_constraints_different_ids_never_merge():
+    # Uniform color but two different constraint ids in frame 0: the two
+    # constrained groups must not merge with each other.
+    t, h, w = 1, 4, 8
+    vol = np.full((t, h, w, 3), 0.5, np.float32)
+    constraints = np.full((t, h, w), -1, np.int32)
+    constraints[0, :, : w // 2] = 0
+    constraints[0, :, w // 2:] = 1
+    res = ov.oversegment(jnp.asarray(vol),
+                         constraints=jnp.asarray(constraints),
+                         params=_params())
+    lab = _labels_np(res)[0]
+    assert lab[0, 0] != lab[0, -1]
+
+
+def test_constraint_split_unconstrains():
+    # Frame 0 constrained to one id, but colors split hard: the far side
+    # (similar size) is unconstrained and becomes its own region.
+    t, h, w = 1, 6, 12
+    vol = np.zeros((t, h, w, 3), np.float32)
+    vol[:, :, w // 2:] = 1.0
+    constraints = np.full((t, h, w), 0, np.int32)
+    res = ov.oversegment(jnp.asarray(vol),
+                         constraints=jnp.asarray(constraints),
+                         params=_params())
+    lab = _labels_np(res)[0]
+    assert lab[0, 0] != lab[0, -1]
+
+
+def test_flow_displaced_temporal_edges():
+    # A bright bar moves 3 px right between frames; with correct backward
+    # flow the bar merges across time despite no spatial overlap... the bar
+    # is 2 px wide so the undisplaced 9-neighborhood cannot reach it.
+    t, h, w = 2, 8, 16
+    vol = np.zeros((t, h, w, 3), np.float32)
+    vol[0, :, 4:6] = 1.0
+    vol[1, :, 9:11] = 1.0
+    flow = np.zeros((1, h, w, 2), np.float32)
+    flow[0, :, :, 0] = -5.0  # backward flow: current pixel was 5 px left
+    res_nf = ov.oversegment(jnp.asarray(vol), params=_params())
+    res_fl = ov.oversegment(jnp.asarray(vol), flow=jnp.asarray(flow),
+                            params=_params())
+    lab_nf = _labels_np(res_nf)
+    lab_fl = _labels_np(res_fl)
+    assert lab_nf[0, 0, 4] != lab_nf[1, 0, 9]      # disconnected without flow
+    assert lab_fl[0, 0, 4] == lab_fl[1, 0, 9]      # connected along flow
+
+
+def test_region_sizes_match():
+    h, w = 8, 16
+    vol = np.zeros((1, h, w, 3), np.float32)
+    vol[:, :, w // 2:] = 0.8
+    res = ov.oversegment(jnp.asarray(vol), params=_params())
+    lab = _labels_np(res)[0]
+    size = np.asarray(res.size)
+    assert size[lab[0, 0]] == h * w // 2
+    assert size[lab[0, -1]] == h * w // 2
