@@ -16,3 +16,25 @@ Grundmann et al. CVPR'10 streaming hierarchical video segmentation system:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+
+def _configure_jax():
+    """Persistent compilation cache: solver programs are large and their
+    XLA compiles are expensive; cache them across processes."""
+    cache = _os.environ.get(
+        "VST_JAX_CACHE",
+        _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                      "..", ".jax_cache"))
+    if cache and cache != "0":
+        try:
+            import jax
+            jax.config.update("jax_compilation_cache_dir",
+                              _os.path.abspath(cache))
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+        except Exception:
+            pass
+
+
+_configure_jax()

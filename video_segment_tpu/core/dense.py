@@ -1,0 +1,255 @@
+"""Streaming chunked dense over-segmentation driver.
+
+Host-side equivalent of the reference's DenseSegmentation
+(dense_segmentation.{h,cpp}): buffers preprocessed frames, runs the TPU
+over-segmentation solver per chunk, assigns globally consistent region ids
+across chunks, and emits per-frame RLE results plus a level-0 hierarchy per
+chunk.
+
+Chunk streaming protocol (dense_segmentation.cpp:100-431):
+- A chunk solve covers the buffered frames.  With overlap 2 / 1 constraint
+  frame, output covers local frames [chunk_start, last_output] where
+  last_output = len(buffer) - overlap (all frames when flushing).
+- The next chunk's buffer starts with the last output frame (plane 0,
+  re-fed as *frozen* pre-merged regions — the role of the reference's
+  virtual nodes) and the first lookahead frame (plane 1, per-pixel
+  constrained), both carrying the previous chunk's global region ids as
+  constraints.
+- Ids: constrained regions that survive keep their previous global id;
+  new regions get ids from a monotonically increasing counter
+  (AssignUniqueRegionIds, segmentation.cpp:549-582).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from video_segment_tpu.core import oversegmentation as ov
+from video_segment_tpu.core.options import DenseSegmentationOptions
+from video_segment_tpu.ops import filters, rle
+
+
+@dataclasses.dataclass
+class HierarchyLevelData:
+    """One hierarchy level, arrays indexed per region (global ids)."""
+    ids: np.ndarray           # (R,) int64, ascending
+    sizes: np.ndarray         # (R,) int64 (window-adjusted voxel counts)
+    start_frames: np.ndarray  # (R,) global video frame index
+    end_frames: np.ndarray
+    neighbor_pairs: np.ndarray  # (P,2) int64 global-id pairs, a<b
+    parent_ids: np.ndarray | None = None   # (R,) or None (top level)
+    child_pairs: np.ndarray | None = None  # (C,2) (parent_gid, child_gid)
+
+
+@dataclasses.dataclass
+class SegFrame:
+    """Per-frame segmentation result (host representation of
+    SegmentationDesc; serialized by dataio.fast_proto)."""
+    frame_width: int
+    frame_height: int
+    region_ids: np.ndarray        # (R,) ascending global ids in this frame
+    interval_counts: np.ndarray   # (R,)
+    ys: np.ndarray
+    lxs: np.ndarray
+    rxs: np.ndarray
+    chunk_size: int = 0
+    overlap_start: int = 0
+    chunk_id: int = -1
+    hierarchy_frame_idx: int = 0
+    hierarchy: list[HierarchyLevelData] | None = None  # chunk-start frame only
+    frame_index: int = -1         # global video frame index
+
+
+class DenseSegmentation:
+    """Streaming over-segmentation.
+
+    Usage:
+        ds = DenseSegmentation(DenseSegmentationOptions(), width, height)
+        for frame in frames:
+            results += ds.process_frame(False, frame, flow)
+        results += ds.process_frame(True)
+    """
+
+    def __init__(self, options: DenseSegmentationOptions, frame_width: int,
+                 frame_height: int,
+                 solver_params: ov.OversegParams | None = None):
+        if options.chunk_size < 3:
+            raise ValueError("chunk_size needs to be at least 3 frames")
+        self.options = options
+        self.frame_width = frame_width
+        self.frame_height = frame_height
+        self.overlap_frames = options.overlap_frames()
+        self.constraint_frames = options.constraint_frames()
+        self.min_region_size = options.min_region_size(frame_width,
+                                                       frame_height)
+        base = solver_params or ov.OversegParams()
+        self._params = base._replace(
+            min_region_size=self.min_region_size,
+            metric=options.color_distance,
+            force_merge_weight=0.002 if options.color_distance == "l1"
+            else 0.001)
+
+        self._buffer: list[jnp.ndarray] = []   # smoothed (H,W,3) on device
+        self._flow_buffer: list[np.ndarray] = []
+        self._has_flow = False
+        self._chunk_start = 0
+        self._chunk_id = 0
+        self._max_region_id = 0
+        self._num_output_frames = 0
+        # Previous chunk state: global-id label images for the overlap
+        # frames (plane 0 = emitted/frozen, plane 1.. = constrained).
+        self._overlap_gids: list[np.ndarray] = []
+
+    # -- preprocessing ----------------------------------------------------
+
+    def preprocess(self, frame_bgr_u8: np.ndarray) -> jnp.ndarray:
+        """uint8 BGR -> smoothed float [0,1] (dense_segmentation.cpp:164-198)."""
+        img = jnp.asarray(frame_bgr_u8, jnp.float32) * (1.0 / 255.0)
+        return filters.presmooth(img, self.options.presmoothing)
+
+    # -- streaming --------------------------------------------------------
+
+    def process_frame(self, flush: bool, frame_bgr_u8: np.ndarray | None = None,
+                      flow: np.ndarray | None = None) -> list[SegFrame]:
+        if frame_bgr_u8 is not None:
+            self._buffer.append(self.preprocess(frame_bgr_u8))
+            # flow_buffer[i] is the backward flow of buffer frame i
+            # (None only for the very first video frame).
+            self._flow_buffer.append(
+                None if flow is None else np.asarray(flow, np.float32))
+            if flow is not None:
+                self._has_flow = True
+
+        if self._buffer and (
+                flush or
+                len(self._buffer) - self._chunk_start >= self.options.chunk_size):
+            return self._segment_chunk(flush)
+        return []
+
+    # -- chunk solve ------------------------------------------------------
+
+    def _segment_chunk(self, flush: bool) -> list[SegFrame]:
+        t = len(self._buffer)
+        h, w = self.frame_height, self.frame_width
+        # Pad every solve to one canonical temporal extent (chunk_size + 1
+        # planes) by repeating the last frame, so the solver compiles once
+        # per resolution instead of once per distinct buffer length.
+        t_solve = self.options.chunk_size + 1
+        pad = t_solve - t
+        vol = jnp.stack(self._buffer + [self._buffer[-1]] * pad)
+
+        flow = None
+        if self._has_flow and t > 1:
+            tail = self._flow_buffer[1:t]
+            if any(f is None for f in tail):
+                raise ValueError("flow must be passed for every frame or none")
+            zero = np.zeros_like(tail[0])
+            flow = jnp.asarray(np.stack(tail + [zero] * pad))
+
+        constraints = init_label = frozen = None
+        cid_to_gid = np.zeros(0, np.int64)
+        if self._overlap_gids:
+            constraints_np = np.full((t_solve, h, w), -1, np.int32)
+            frozen_np = np.zeros((t_solve, h, w), bool)
+            planes = np.stack(self._overlap_gids)  # (overlap, H, W) gids
+            cid_to_gid, compact = np.unique(planes, return_inverse=True)
+            if len(cid_to_gid) > self._params.max_constraints:
+                raise ValueError(
+                    f"{len(cid_to_gid)} constraint regions exceed the solver "
+                    f"cap {self._params.max_constraints}")
+            compact = compact.reshape(planes.shape).astype(np.int32)
+            n_constrained = 1 + self.constraint_frames
+            constraints_np[:n_constrained] = compact[:n_constrained]
+            frozen_np[0] = True
+            # Pre-merge plane 0 per region: canonical voxel per compact id.
+            init_np = np.arange(t_solve * h * w,
+                                dtype=np.int32).reshape(t_solve, h, w)
+            plane0 = compact[0].ravel()
+            uniq, first = np.unique(plane0, return_index=True)
+            canonical = np.full(len(cid_to_gid), -1, np.int64)
+            canonical[uniq] = first  # flat index within plane 0
+            init_np[0] = canonical[plane0].reshape(h, w).astype(np.int32)
+            constraints = jnp.asarray(constraints_np)
+            init_label = jnp.asarray(init_np)
+            frozen = jnp.asarray(frozen_np)
+
+        res = ov.oversegment(vol, flow=flow, constraints=constraints,
+                             init_label=init_label, frozen=frozen,
+                             params=self._params)
+        labels = np.asarray(res.label)[:t]
+        constr_all = np.asarray(res.constr)
+
+        if self.options.enforce_n4_connectivity:
+            labels = np.stack([rle.enforce_n4_connectivity(f) for f in labels])
+
+        compact, roots = rle.compact_labels(labels)
+        num_regions = len(roots)
+        constr_of_region = constr_all[roots]
+
+        # Global id assignment (AssignUniqueRegionIds).
+        gids = np.full(num_regions, -1, np.int64)
+        constrained = constr_of_region >= 0
+        if constrained.any():
+            gids[constrained] = cid_to_gid[constr_of_region[constrained]]
+        new_idx = np.flatnonzero(~constrained)
+        gids[new_idx] = self._max_region_id + np.arange(len(new_idx))
+        self._max_region_id = max(self._max_region_id, int(gids.max()) + 1)
+
+        # Output geometry.
+        last_output = (t - 1) if flush else (t - self.overlap_frames)
+        window_lo = 1 if self._overlap_gids else 0  # exclude frozen plane
+        out_chunk_size = last_output - self._chunk_start + 1
+        hierarchy_frame_idx = self._num_output_frames
+        global_frame0 = self._num_output_frames - self._chunk_start
+
+        # Level-0 hierarchy over the window [window_lo, last_output].
+        win = compact[window_lo:last_output + 1]
+        start_f, end_f, _ = rle.region_presence(win, num_regions)
+        sizes = rle.region_sizes(win, num_regions)
+        in_window = sizes > 0
+        pairs = rle.neighbor_pairs(win)
+        keep = in_window[pairs[:, 0]] & in_window[pairs[:, 1]]
+        gp = gids[pairs[keep]]
+        gp = np.sort(gp, axis=1)
+        order = np.argsort(gids[in_window], kind="stable")
+        hier = HierarchyLevelData(
+            ids=gids[in_window][order],
+            sizes=sizes[in_window][order],
+            start_frames=global_frame0 + window_lo + start_f[in_window][order],
+            end_frames=global_frame0 + window_lo + end_f[in_window][order],
+            neighbor_pairs=gp)
+
+        # Emit frames [chunk_start, last_output].
+        gid_map = gids  # compact region -> global id
+        results = []
+        for local in range(self._chunk_start, last_output + 1):
+            gimg = gid_map[compact[local]]
+            ids, counts, ys, lxs, rxs = rle.frame_rle(gimg)
+            results.append(SegFrame(
+                frame_width=w, frame_height=h,
+                region_ids=ids, interval_counts=counts,
+                ys=ys, lxs=lxs, rxs=rxs,
+                chunk_size=out_chunk_size, overlap_start=out_chunk_size,
+                chunk_id=self._chunk_id,
+                hierarchy_frame_idx=hierarchy_frame_idx,
+                hierarchy=[hier] if local == self._chunk_start else None,
+                frame_index=global_frame0 + local))
+        self._num_output_frames += len(results)
+
+        # Prepare next chunk state.
+        if flush:
+            self._buffer.clear()
+            self._flow_buffer.clear()
+            self._overlap_gids = []
+            self._chunk_start = 0
+        else:
+            self._overlap_gids = [gid_map[compact[f]]
+                                  for f in range(last_output, t)]
+            self._buffer = self._buffer[last_output:]
+            self._flow_buffer = self._flow_buffer[last_output:]
+            self._chunk_start = 1
+        self._chunk_id += 1
+        return results

@@ -1,0 +1,71 @@
+"""Configuration dataclasses mirroring the reference's option structs.
+
+Knob names and defaults follow the reference so users can carry settings
+over directly (DenseSegmentationOptions: dense_segmentation.h:42-95;
+RegionSegmentationOptions: region_segmentation.h:41-82; SegmentationOptions:
+segmentation.h:46-95).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass
+class DenseSegmentationOptions:
+    presmoothing: str = "bilateral"          # none | gaussian | bilateral
+    frac_min_region_size: float = 0.01
+    chunk_size: int = 20
+    chunk_overlap_ratio: float = 0.2
+    two_stage_oversegment: bool = False
+    num_constraint_frames: int = 1
+    enforce_n4_connectivity: bool = True
+    enforce_spatial_connectedness: bool = True
+    color_distance: str = "l2"               # l1 | l2
+    compute_vectorization: bool = False
+
+    def overlap_frames(self) -> int:
+        # The reference clamps to at most 2 and requires at least 2 to seed
+        # the next chunk (dense_segmentation.cpp:59-62, CHECK at :367);
+        # i.e. it only ever operates with exactly 2 overlap frames.
+        return 2
+
+    def constraint_frames(self) -> int:
+        return min(self.num_constraint_frames, self.overlap_frames() - 1)
+
+    def min_region_size(self, width: int, height: int) -> int:
+        return max(1, int(self.frac_min_region_size * width *
+                          self.frac_min_region_size * height *
+                          self.chunk_size))
+
+
+@dataclasses.dataclass
+class RegionSegmentationOptions:
+    min_region_num: int = 10
+    max_region_num: int = 10000
+    level_cutoff_fraction: float = 0.8
+    small_region_penalizer: float = 0.25
+    luminance_bins: int = 10
+    color_bins: int = 20
+    flow_bins: int = 16
+    chunk_set_size: int = 6
+    chunk_set_overlap: int = 2
+    constraint_chunks: int = 1
+    use_appearance: bool = True
+    use_flow: bool = True
+    use_size_penalizer: bool = True
+    compute_vectorization: bool = True
+
+
+@dataclasses.dataclass
+class SegmentationOptions:
+    min_region_size: int = 200
+    two_stage_segmentation: bool = False
+    enforce_n4_connectivity: bool = True
+    enforce_spatial_connectedness: bool = True
+    thin_structure_suppression: bool = False
+    compute_vectorization: bool = False
+    level_cutoff_fraction: float = 0.8
+    min_region_num: int = 10
+    max_region_num: int = 2000
+    num_domain_buckets: int = 2048

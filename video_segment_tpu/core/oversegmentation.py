@@ -59,6 +59,9 @@ class OversegParams(NamedTuple):
     force_merge_weight: float = 0.001  # dense_segmentation.cpp:259 (L2)
     min_region_size: int = 100
     metric: str = "l2"
+    # Static bound on distinct constraint ids per solve (keeps the compiled
+    # program independent of the actual count, avoiding per-chunk recompiles).
+    max_constraints: int = 1 << 16
     # Ascending bucket thresholds; each runs Boruvka rounds to fixed point.
     schedule: tuple = (2, 8, 32, 96, 256, 768, 2047)
     max_rounds_per_level: int = 12
@@ -72,6 +75,9 @@ class SolverState(NamedTuple):
     size: jnp.ndarray    # (N,)  f32: voxel counts at root slots
     constr: jnp.ndarray  # (N,)  int32: compact constraint id at roots, -1 free
     fin: jnp.ndarray     # (N,)  bool: merge test failed (finalized)
+    frozen: jnp.ndarray  # (N,)  bool: plays the reference's virtual-node role
+                         # (already-emitted geometry; constraint never reset,
+                         #  always merged with its constraint group at the end)
 
 
 class OversegResult(NamedTuple):
@@ -204,18 +210,20 @@ def _iter_dirs(vol, flow, label3, mean3, size3, constr3, fin3, metric):
 
 def _gather_pixel_stats(state: SolverState, shape):
     t, h, w = shape
-    # Single fused gather: [mean(3), size, constr, fin] per root slot.
+    # Single fused gather: [mean(3), size, constr, fin, frozen] per root slot.
     mean = state.csum / jnp.maximum(state.size, 1.0)[:, None]
     table = jnp.concatenate(
         [mean, state.size[:, None], state.constr.astype(jnp.float32)[:, None],
-         state.fin.astype(jnp.float32)[:, None]], axis=1)
-    g = table[state.label].reshape(t, h, w, 6)
+         state.fin.astype(jnp.float32)[:, None],
+         state.frozen.astype(jnp.float32)[:, None]], axis=1)
+    g = table[state.label].reshape(t, h, w, 7)
     mean3 = g[..., 0:3]
     size3 = g[..., 3]
     constr3 = g[..., 4].astype(jnp.int32)
     fin3 = g[..., 5] > 0
+    frozen3 = g[..., 6] > 0
     label3 = state.label.reshape(t, h, w)
-    return label3, mean3, size3, constr3, fin3
+    return label3, mean3, size3, constr3, fin3, frozen3
 
 
 def _desc_distance(own_mean, nb_mean, w_eff, p: OversegParams):
@@ -245,9 +253,11 @@ def _apply_merge(state: SolverState, partner, n, up=None):
     constr = jax.ops.segment_max(state.constr, root, num_segments=n)
     fin = jax.ops.segment_max(state.fin.astype(jnp.int32), root,
                               num_segments=n) > 0
+    frozen = jax.ops.segment_max(state.frozen.astype(jnp.int32), root,
+                                 num_segments=n) > 0
     label = root[state.label]
     moved = jnp.sum(root != slots)
-    return SolverState(label, csum, size, constr, fin), moved
+    return SolverState(label, csum, size, constr, fin, frozen), moved
 
 
 def _select_partners(best_bucket, best_partner, label_flat, n):
@@ -269,7 +279,8 @@ def _merge_round(state: SolverState, vol, flow, theta, up,
     """One Boruvka round: per-region min admissible edge, merge all."""
     t, h, w, _ = vol.shape
     n = t * h * w
-    label3, mean3, size3, constr3, fin3 = _gather_pixel_stats(state, (t, h, w))
+    label3, mean3, size3, constr3, fin3, _ = _gather_pixel_stats(
+        state, (t, h, w))
     own_constr_free = constr3 < 0
     own_fin = fin3
 
@@ -302,7 +313,8 @@ def _level_end(state: SolverState, vol, flow, theta, p: OversegParams):
     (segmentation_graph.h:399-402, 416-435), batched at level end."""
     t, h, w, _ = vol.shape
     n = t * h * w
-    label3, mean3, size3, constr3, fin3 = _gather_pixel_stats(state, (t, h, w))
+    label3, mean3, size3, constr3, fin3, frozen3 = _gather_pixel_stats(
+        state, (t, h, w))
 
     fail_any = jnp.zeros((t, h, w), bool)
     uncon_any = jnp.zeros((t, h, w), bool)
@@ -315,9 +327,11 @@ def _level_end(state: SolverState, vol, flow, theta, p: OversegParams):
         fail_any = fail_any | fail
         split = (act & ~either_free & (constr3 == d.nb_constr)
                  & (dd > p.split_threshold))
-        # Unconstrain own side unless the neighbor is much smaller
-        # (then only the neighbor is unconstrained — from its own view).
-        uncon = split & ~(d.nb_size < 0.3 * size3)
+        # Unconstrain own side unless the neighbor is much smaller (then the
+        # neighbor unconstrains itself, seen from its own view).  Frozen
+        # regions are never unconstrained (virtual-node semantics,
+        # segmentation_graph.h:164-166).
+        uncon = split & ~(d.nb_size < 0.3 * size3) & ~frozen3
         uncon_any = uncon_any | uncon
 
     fail_r = jax.ops.segment_max(fail_any.reshape(-1).astype(jnp.int32),
@@ -335,7 +349,8 @@ def _min_size_round(state: SolverState, vol, flow, up, p: OversegParams):
     still never merge."""
     t, h, w, _ = vol.shape
     n = t * h * w
-    label3, mean3, size3, constr3, fin3 = _gather_pixel_stats(state, (t, h, w))
+    label3, mean3, size3, constr3, fin3, _ = _gather_pixel_stats(
+        state, (t, h, w))
     own_small = size3 < p.min_region_size
 
     best_bucket = jnp.full((t, h, w), _I32MAX, jnp.int32)
@@ -357,26 +372,45 @@ def _min_size_round(state: SolverState, vol, flow, up, p: OversegParams):
     return _apply_merge(state, partner, n, up=up)
 
 
-def _merge_constrained(state: SolverState, num_constraints: int, n: int):
-    """Force-merge all regions sharing a constraint id
-    (MergeConstrainedRegions, segmentation_graph.h:703-786)."""
+def _merge_constrained(state: SolverState, num_constraints: int, n: int,
+                       p: OversegParams):
+    """Final constraint association (MergeConstrainedRegions,
+    segmentation_graph.h:703-786): every constrained region is tested against
+    its constraint group's representative — frozen (virtual-role) regions
+    always merge; real regions merge when descriptor distance <= split
+    threshold, otherwise they are unconstrained.  Hooks form a star onto the
+    representative, so no cycles are possible."""
     slots = jnp.arange(n, dtype=jnp.int32)
     is_root = state.label[slots] == slots
     cid = jnp.where(is_root & (state.constr >= 0), state.constr,
                     num_constraints)
-    canonical = jax.ops.segment_min(slots, cid,
-                                    num_segments=num_constraints + 1)
-    parent = jnp.where(cid < num_constraints, canonical[state.constr], slots)
-    state, _ = _apply_merge(state, jnp.where(parent != slots, parent, _I32MAX),
-                            n)
+    # Representative: the frozen root of the group when one exists, else the
+    # minimum root slot.
+    frozen_slot = jnp.where(state.frozen, slots, _I32MAX)
+    rep_frozen = jax.ops.segment_min(frozen_slot, cid,
+                                     num_segments=num_constraints + 1)
+    rep_any = jax.ops.segment_min(slots, cid,
+                                  num_segments=num_constraints + 1)
+    rep = jnp.where(rep_frozen < _I32MAX, rep_frozen, rep_any)
+
+    target = rep[jnp.clip(state.constr, 0, num_constraints - 1)]
+    active = (cid < num_constraints) & (target != slots)
+    mean = state.csum / jnp.maximum(state.size, 1.0)[:, None]
+    d = _dist(mean, mean[target], p.metric)
+    merge = active & (state.frozen | (d <= p.split_threshold))
+    uncon = active & ~merge & ~state.frozen
+
+    state = state._replace(constr=jnp.where(uncon, -1, state.constr))
+    partner = jnp.where(merge, target, _I32MAX)
+    state, _ = _apply_merge(state, partner, n)
     return state
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("params", "has_flow", "num_constraints"))
-def _solve(vol, flow, init_label, constr_init, params: OversegParams,
-           has_flow: bool, num_constraints: int):
+    static_argnames=("params", "has_flow", "has_constraints"))
+def _solve(vol, flow, init_label, constr_init, frozen_init,
+           params: OversegParams, has_flow: bool, has_constraints: bool):
     t, h, w, _ = vol.shape
     n = t * h * w
     fl = flow if has_flow else None
@@ -385,8 +419,10 @@ def _solve(vol, flow, init_label, constr_init, params: OversegParams,
     csum = jax.ops.segment_sum(vol.reshape(n, 3), init_label, num_segments=n)
     size = jax.ops.segment_sum(ones, init_label, num_segments=n)
     constr = jax.ops.segment_max(constr_init, init_label, num_segments=n)
+    frozen = jax.ops.segment_max(frozen_init.astype(jnp.int32), init_label,
+                                 num_segments=n) > 0
     state = SolverState(init_label, csum, size, constr,
-                        jnp.zeros(n, bool))
+                        jnp.zeros(n, bool), frozen)
 
     def run_rounds(state, theta, max_rounds, round_fn):
         # Hook parity alternates per round; stop after two consecutive
@@ -404,25 +440,36 @@ def _solve(vol, flow, init_label, constr_init, params: OversegParams,
             cond, body, (state, jnp.int32(0), jnp.int32(0)))
         return state
 
+    # Levels run inside a fori_loop with theta as a traced lookup so the
+    # (large) stencil bodies are compiled exactly once, not once per level.
+    n_levels = len(params.schedule)
+    thetas = jnp.asarray(params.schedule, jnp.int32)
+    level_rounds = jnp.asarray(
+        [params.max_rounds_per_level] * (n_levels - 1)
+        + [params.max_final_rounds], jnp.int32)
+
     merge_fn = lambda st, th, up: _merge_round(st, vol, fl, th, up, params)
-    for i, theta in enumerate(params.schedule):
-        rounds = (params.max_final_rounds if i == len(params.schedule) - 1
-                  else params.max_rounds_per_level)
-        state = run_rounds(state, jnp.int32(theta), rounds, merge_fn)
-        state = _level_end(state, vol, fl, jnp.int32(theta), params)
+
+    def level_body(l, state):
+        state = run_rounds(state, thetas[l], level_rounds[l], merge_fn)
+        return _level_end(state, vol, fl, thetas[l], params)
+
+    state = jax.lax.fori_loop(0, n_levels, level_body, state)
 
     if params.min_region_size > 1:
         min_fn = lambda st, th, up: _min_size_round(st, vol, fl, up, params)
-        state = run_rounds(state, jnp.int32(0), params.min_size_rounds, min_fn)
+        state = run_rounds(state, jnp.int32(0),
+                           jnp.int32(params.min_size_rounds), min_fn)
 
-    if num_constraints > 0:
-        state = _merge_constrained(state, num_constraints, n)
+    if has_constraints:
+        state = _merge_constrained(state, params.max_constraints, n, params)
 
     return OversegResult(label=state.label.reshape(t, h, w),
                          constr=state.constr, size=state.size)
 
 
 def oversegment(vol, flow=None, constraints=None, init_label=None,
+                frozen=None,
                 params: OversegParams = OversegParams()) -> OversegResult:
     """Over-segment a chunk volume.
 
@@ -433,6 +480,9 @@ def oversegment(vol, flow=None, constraints=None, init_label=None,
         callers map previous-chunk region ids to [0,C).
       init_label: optional (T,H,W) int32 initial labels (pre-merged
         constrained regions point at a canonical member voxel).
+      frozen: optional (T,H,W) bool — voxels of already-emitted geometry
+        (the reference's virtual nodes); their regions keep constraints and
+        always merge with their constraint group.
       params: solver parameters.
 
     Returns OversegResult; `label` holds arbitrary root-voxel ids (compact
@@ -446,12 +496,16 @@ def oversegment(vol, flow=None, constraints=None, init_label=None,
         init_label = init_label.reshape(n).astype(jnp.int32)
     if constraints is None:
         constr_init = jnp.full(n, -1, jnp.int32)
-        num_constraints = 0
+        has_constraints = False
     else:
         constr_init = constraints.reshape(n).astype(jnp.int32)
-        num_constraints = int(jnp.max(constr_init)) + 1
+        has_constraints = True
+    if frozen is None:
+        frozen_init = jnp.zeros(n, bool)
+    else:
+        frozen_init = frozen.reshape(n).astype(bool)
     has_flow = flow is not None
     if flow is None:
         flow = jnp.zeros((max(t - 1, 0), h, w, 2), jnp.float32)
-    return _solve(vol, flow, init_label, constr_init, params,
-                  has_flow, max(num_constraints, 0))
+    return _solve(vol, flow, init_label, constr_init, frozen_init, params,
+                  has_flow, has_constraints)

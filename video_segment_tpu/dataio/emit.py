@@ -1,0 +1,79 @@
+"""SegFrame -> serialized SegmentationDesc bytes.
+
+Bridges the core drivers' numpy result records to the wire format: hot RLE
+payload through the vectorized encoder, the (small, per-chunk) hierarchy
+through regular protobuf objects.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from video_segment_tpu import proto
+from video_segment_tpu.dataio import fast_proto
+
+
+def _neighbor_lists(ids: np.ndarray, pairs: np.ndarray):
+    """Per-region sorted neighbor id lists from unique (a,b) pairs."""
+    if len(pairs) == 0:
+        return {int(i): [] for i in ids}
+    src = np.concatenate([pairs[:, 0], pairs[:, 1]])
+    dst = np.concatenate([pairs[:, 1], pairs[:, 0]])
+    order = np.lexsort((dst, src))
+    src, dst = src[order], dst[order]
+    out = {int(i): [] for i in ids}
+    uniq, starts = np.unique(src, return_index=True)
+    bounds = np.append(starts, len(src))
+    for i, s in enumerate(uniq):
+        out[int(s)] = dst[bounds[i]:bounds[i + 1]].tolist()
+    return out
+
+
+def _child_lists(parent_ids_of_children: np.ndarray | None,
+                 child_ids: np.ndarray | None):
+    if parent_ids_of_children is None:
+        return {}
+    order = np.lexsort((child_ids, parent_ids_of_children))
+    p, c = parent_ids_of_children[order], child_ids[order]
+    out = {}
+    uniq, starts = np.unique(p, return_index=True)
+    bounds = np.append(starts, len(p))
+    for i, s in enumerate(uniq):
+        out[int(s)] = c[bounds[i]:bounds[i + 1]].tolist()
+    return out
+
+
+def hierarchy_to_proto(levels) -> list:
+    """list[HierarchyLevelData] -> list[proto HierarchyLevel]."""
+    out = []
+    for lvl in levels:
+        msg = proto.HierarchyLevel()
+        nbrs = _neighbor_lists(lvl.ids, lvl.neighbor_pairs)
+        if lvl.child_pairs is not None and len(lvl.child_pairs):
+            children = _child_lists(lvl.child_pairs[:, 0], lvl.child_pairs[:, 1])
+        else:
+            children = {}
+        parent = lvl.parent_ids
+        for i, rid in enumerate(lvl.ids):
+            cr = msg.region.add()
+            cr.id = int(rid)
+            cr.size = int(lvl.sizes[i])
+            cr.neighbor_id.extend(nbrs.get(int(rid), []))
+            if parent is not None:
+                cr.parent_id = int(parent[i])
+            cr.child_id.extend(children.get(int(rid), []))
+            cr.start_frame = int(lvl.start_frames[i])
+            cr.end_frame = int(lvl.end_frames[i])
+        out.append(msg)
+    return out
+
+
+def segframe_to_bytes(sf) -> bytes:
+    """Serialize a core.dense.SegFrame to SegmentationDesc wire bytes."""
+    hierarchy = hierarchy_to_proto(sf.hierarchy) if sf.hierarchy else None
+    return fast_proto.encode_frame(
+        sf.region_ids, sf.interval_counts, sf.ys, sf.lxs, sf.rxs,
+        frame_width=sf.frame_width, frame_height=sf.frame_height,
+        chunk_size=sf.chunk_size, overlap_start=sf.overlap_start,
+        chunk_id=sf.chunk_id, hierarchy_frame_idx=sf.hierarchy_frame_idx,
+        connectedness=proto.N4_CONNECT, hierarchy=hierarchy)

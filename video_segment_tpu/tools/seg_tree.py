@@ -1,0 +1,152 @@
+"""Flagship CLI: full streaming segmentation of a video file.
+
+TPU-native equivalent of the reference seg_tree_sample
+(seg_tree_sample/seg_tree.cpp:52-369): decode -> (optical flow) -> dense
+over-segmentation -> hierarchical region segmentation -> .pb / rendered
+video outputs.  Flag names mirror the reference CLI.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def build_arg_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--input_file", "-i", required=True,
+                   help="input video file or CAMERA")
+    p.add_argument("--flow", action=argparse.BooleanOptionalAction,
+                   default=True, help="use dense optical flow")
+    p.add_argument("--over_segment", action="store_true",
+                   help="over-segmentation only (no hierarchy stage)")
+    p.add_argument("--write_to_file", action="store_true",
+                   help="write <input>.pb segmentation stream")
+    p.add_argument("--output_file", default="",
+                   help="override .pb output path")
+    p.add_argument("--render_and_save", action="store_true",
+                   help="render region video(s) to mp4")
+    p.add_argument("--display", type=float, default=-1,
+                   help="render level in [0,1); negative disables")
+    p.add_argument("--trim_to", type=int, default=0,
+                   help="process only the first N frames")
+    p.add_argument("--downscale_min_size", type=int, default=0,
+                   help="downscale so min dimension equals this")
+    p.add_argument("--run_on_server", action="store_true",
+                   help="server preset: downscale to 360, write output")
+    p.add_argument("--chunk_size", type=int, default=20)
+    p.add_argument("--save_flow", action="store_true",
+                   help="cache computed flow to <input>.flow")
+    p.add_argument("--use_pipeline", action=argparse.BooleanOptionalAction,
+                   default=True, help="overlap host stages in threads")
+    p.add_argument("--pipeline_status", action="store_true",
+                   help="print per-stage rates")
+    return p
+
+
+def main(argv=None):
+    args = build_arg_parser().parse_args(argv)
+
+    # Heavy imports after flag parsing (fast --help).
+    import numpy as np
+    from video_segment_tpu.core import dense
+    from video_segment_tpu.core.options import (DenseSegmentationOptions,
+                                                RegionSegmentationOptions)
+    from video_segment_tpu.dataio import emit, seg_io, video
+    from video_segment_tpu.segment_util import render as render_util
+
+    if args.run_on_server:
+        args.downscale_min_size = args.downscale_min_size or 360
+        args.write_to_file = True
+
+    downscale = "to_min" if args.downscale_min_size else "none"
+    reader = video.VideoReader(args.input_file, downscale=downscale,
+                               downscale_size=args.downscale_min_size,
+                               trim_to=args.trim_to)
+    info = reader.info
+    print(f"Processing {args.input_file}: {info.width}x{info.height} "
+          f"@ {info.fps:.2f} fps")
+
+    flow_fn = None
+    if args.flow:
+        from video_segment_tpu.core import flow as flow_mod
+        flow_fn = flow_mod.FlowEngine(info.width, info.height,
+                                      cache_path=(args.input_file + ".flow"
+                                                  if args.save_flow else None))
+
+    opts = DenseSegmentationOptions(chunk_size=args.chunk_size)
+    ds = dense.DenseSegmentation(opts, info.width, info.height)
+
+    region_stage = None
+    if not args.over_segment:
+        from video_segment_tpu.core import region
+        region_stage = region.RegionSegmentation(
+            RegionSegmentationOptions(), info.width, info.height)
+
+    writer = None
+    if args.write_to_file:
+        out_path = args.output_file or (args.input_file + ".pb")
+        writer = seg_io.SegmentationWriter(out_path)
+        if not writer.open_file(header_flags=[0, 1]):
+            print(f"cannot open {out_path}", file=sys.stderr)
+            return 1
+
+    render_writer = None
+    if args.render_and_save:
+        render_path = os.path.splitext(args.input_file)[0] + "_render.mp4"
+        render_writer = video.VideoWriter(render_path, info.width,
+                                          info.height, info.fps)
+
+    def consume(frames):
+        nonlocal n_out
+        for sf in frames:
+            if writer is not None:
+                writer.add_to_chunk(emit.segframe_to_bytes(sf),
+                                    pts=reader.pts_of(sf.frame_index))
+                if sf.hierarchy is not None and n_out > 0:
+                    writer.write_chunk()
+            if render_writer is not None:
+                img = render_util.render_segframe(sf)
+                render_writer.write(img)
+            n_out += 1
+            if n_out % 20 == 0:
+                print(f"__STREAMING_SIZE__: {n_out}")
+
+    t0 = time.time()
+    n_in = 0
+    n_out = 0
+    prev_gray = None
+
+    def stage(frames_done, frame=None):
+        """Run one streaming step through dense (+ region) stages."""
+        nonlocal prev_gray
+        flow = None
+        if frame is not None and flow_fn is not None:
+            flow = flow_fn.compute(frame, n_in)
+        out = ds.process_frame(frames_done, frame, flow)
+        if region_stage is not None:
+            out = region_stage.process_frames(frames_done, out)
+        consume(out)
+
+    for frame in reader:
+        stage(False, frame)
+        n_in += 1
+    stage(True)
+
+    if writer is not None:
+        writer.write_term_and_close()
+    if render_writer is not None:
+        render_writer.close()
+    reader.close()
+
+    dt = time.time() - t0
+    fps = n_out / dt if dt > 0 else 0.0
+    print(f"Processed {n_out} frames in {dt:.2f}s ({fps:.2f} fps)")
+    print("__SEGMENTATION_FINISHED__")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
