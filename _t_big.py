@@ -1,20 +1,14 @@
-import time, numpy as np, jax, jax.numpy as jnp
+import time, numpy as np, jax, jax.numpy as jnp, cv2
 from video_segment_tpu.core import oversegmentation as ov
-shape=(21,480,272)
-vol = jnp.asarray(np.random.default_rng(0).random(shape+(3,), dtype=np.float32))
+# Real video frames (noise is worst-case; use actual content)
+cap = cv2.VideoCapture('/root/reference/video_example/test_video.MOV')
+frames=[]
+for _ in range(21):
+    ok, f = cap.read(); frames.append(f)
+vol = jnp.asarray(np.stack(frames).astype(np.float32)/255.0)
 params = ov.OversegParams(min_region_size=100)
-t0=time.time()
-res = ov.oversegment(vol, params=params); lab = np.asarray(res.label)
-print("compile+first run", time.time()-t0, "regions", len(np.unique(lab)), flush=True)
-t0=time.time()
-res = ov.oversegment(vol, params=params); np.asarray(res.label)
-print("steady run", time.time()-t0, flush=True)
-constr = np.full(shape, -1, np.int32); constr[0] = 0; frozen = np.zeros(shape, bool); frozen[0]=True
-t0=time.time()
-res = ov.oversegment(vol, constraints=jnp.asarray(constr), frozen=jnp.asarray(frozen), params=params)
-np.asarray(res.label)
-print("constrained compile+run", time.time()-t0, flush=True)
-t0=time.time()
-res = ov.oversegment(vol, constraints=jnp.asarray(constr), frozen=jnp.asarray(frozen), params=params)
-np.asarray(res.label)
-print("constrained steady", time.time()-t0, flush=True)
+t0=time.time(); res = ov.oversegment(vol, params=params); lab=np.asarray(res.label)
+print("compile+first", round(time.time()-t0,1), "regions", len(np.unique(lab)), flush=True)
+for _ in range(2):
+    t0=time.time(); res = ov.oversegment(vol, params=params); np.asarray(res.label)
+    print("steady", round(time.time()-t0,2), flush=True)

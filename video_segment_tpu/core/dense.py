@@ -61,6 +61,7 @@ class SegFrame:
     hierarchy_frame_idx: int = 0
     hierarchy: list[HierarchyLevelData] | None = None  # chunk-start frame only
     frame_index: int = -1         # global video frame index
+    moments: np.ndarray | None = None  # (R,6) ShapeMoments rows
 
 
 class DenseSegmentation:
@@ -232,6 +233,7 @@ class DenseSegmentation:
                 frame_width=w, frame_height=h,
                 region_ids=ids, interval_counts=counts,
                 ys=ys, lxs=lxs, rxs=rxs,
+                moments=rle.shape_moments(counts, ys, lxs, rxs),
                 chunk_size=out_chunk_size, overlap_start=out_chunk_size,
                 chunk_id=self._chunk_id,
                 hierarchy_frame_idx=hierarchy_frame_idx,

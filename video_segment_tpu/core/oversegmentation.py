@@ -80,7 +80,7 @@ class OversegParams(NamedTuple):
     # program independent of the actual count, avoiding per-chunk recompiles).
     max_constraints: int = 1 << 16
     # Ascending bucket thresholds; each runs Boruvka rounds to a fixed point.
-    schedule: tuple = (2, 8, 32, 96, 256, 768, 2047)
+    schedule: tuple = (4, 32, 192, 1024, 2047)
     max_rounds_per_level: int = 12
     max_final_rounds: int = 24
     min_size_rounds: int = 24
@@ -246,23 +246,31 @@ def _apply_merge(state: SolverState, partner, n, up=None):
     """Hook roots onto partners (_I32MAX = no hook).  When `up` is given,
     only hooks toward larger (True) / smaller (False) slots apply — monotone
     hooking cannot cycle, which matters because flow-displaced edges are
-    seen with different weights from their two endpoints."""
+    seen with different weights from their two endpoints.
+
+    Returns (state, moved, candidates): candidates counts regions that had
+    an admissible partner regardless of parity, so callers can terminate a
+    phase the moment no admissible edges remain."""
     slots = jnp.arange(n, dtype=jnp.int32)
-    hook = partner < _I32MAX
+    have = partner < _I32MAX
+    hook = have
     if up is not None:
         hook = hook & ((partner > slots) == up)
     parent = jnp.where(hook, partner, slots)
     root = cc.pointer_jump(parent)
-    csum = jax.ops.segment_sum(state.csum, root, num_segments=n)
-    size = jax.ops.segment_sum(state.size, root, num_segments=n)
+    # One fused segment-sum carries color sums, size, and the sticky OR'd
+    # fin/frozen flags (sum > 0 == OR); constraint ids keep max semantics.
+    stats = jnp.concatenate(
+        [state.csum, state.size[:, None],
+         state.fin.astype(jnp.float32)[:, None],
+         state.frozen.astype(jnp.float32)[:, None]], axis=1)
+    stats = jax.ops.segment_sum(stats, root, num_segments=n)
     constr = jax.ops.segment_max(state.constr, root, num_segments=n)
-    packed = (state.fin.astype(jnp.int32)
-              | (state.frozen.astype(jnp.int32) << 1))
-    packed = jax.ops.segment_max(packed, root, num_segments=n)
     label = root[state.label]
     moved = jnp.sum(root != slots)
-    return SolverState(label, csum, size, constr, (packed & 1) > 0,
-                       (packed & 2) > 0), moved
+    return SolverState(label, stats[:, 0:3], stats[:, 3], constr,
+                       stats[:, 4] > 0, stats[:, 5] > 0), moved, \
+        jnp.sum(have)
 
 
 def _round(state: SolverState, vol, flow, theta, up, mode,
@@ -370,7 +378,7 @@ def _merge_constrained(state: SolverState, num_constraints: int, n: int,
 
     state = state._replace(constr=jnp.where(uncon, -1, state.constr))
     partner = jnp.where(merge, target, _I32MAX)
-    state, _ = _apply_merge(state, partner, n)
+    state, _, _ = _apply_merge(state, partner, n)
     return state
 
 
@@ -393,17 +401,20 @@ def _solve(vol, flow, init_label, constr_init, frozen_init,
                         jnp.zeros(n, bool), frozen)
 
     def run_rounds(state, theta, max_rounds, mode):
-        # Hook parity alternates per round; stop after two consecutive
-        # merge-free rounds (both directions exhausted).
+        # Hook parity alternates per round.  Terminate immediately once no
+        # admissible edges remain, or after two merge-free rounds (both
+        # parities blocked).
         def cond(carry):
             st, i, idle = carry
             return (idle < 2) & (i < max_rounds)
 
         def body(carry):
             st, i, idle = carry
-            st, moved = _round(st, vol, fl, theta, (i % 2) == 0, mode,
-                               params)
-            return st, i + 1, jnp.where(moved > 0, 0, idle + 1)
+            st, moved, cands = _round(st, vol, fl, theta, (i % 2) == 0,
+                                      mode, params)
+            idle = jnp.where(cands == 0, 2,
+                             jnp.where(moved > 0, 0, idle + 1))
+            return st, i + 1, idle
 
         state, _, _ = jax.lax.while_loop(
             cond, body, (state, jnp.int32(0), jnp.int32(0)))

@@ -276,6 +276,7 @@ class RegionSegmentation:
                 frame_height=self.frame_height,
                 region_ids=rids, interval_counts=counts,
                 ys=ys, lxs=lxs, rxs=rxs,
+                moments=rle_ops.shape_moments(counts, ys, lxs, rxs),
                 chunk_size=len(out_frames), overlap_start=len(out_frames),
                 chunk_id=self._set_id,
                 hierarchy_frame_idx=first_idx,

@@ -68,12 +68,32 @@ def hierarchy_to_proto(levels) -> list:
     return out
 
 
-def segframe_to_bytes(sf) -> bytes:
-    """Serialize a core.dense.SegFrame to SegmentationDesc wire bytes."""
+def segframe_to_bytes(sf, vectorize: bool = False,
+                      remove_rasterization: bool = False) -> bytes:
+    """Serialize a core.dense.SegFrame to SegmentationDesc wire bytes.
+
+    With `vectorize`, region boundary polygons are computed and attached
+    (and rasterizations optionally stripped, the reference's
+    --write_to_file output shape, seg_tree.cpp:302-312)."""
     hierarchy = hierarchy_to_proto(sf.hierarchy) if sf.hierarchy else None
-    return fast_proto.encode_frame(
+    payload = fast_proto.encode_frame(
         sf.region_ids, sf.interval_counts, sf.ys, sf.lxs, sf.rxs,
+        getattr(sf, "moments", None),
         frame_width=sf.frame_width, frame_height=sf.frame_height,
         chunk_size=sf.chunk_size, overlap_start=sf.overlap_start,
         chunk_id=sf.chunk_id, hierarchy_frame_idx=sf.hierarchy_frame_idx,
         connectedness=proto.N4_CONNECT, hierarchy=hierarchy)
+    if not vectorize:
+        return payload
+
+    from video_segment_tpu.segment_util import boundary, util
+    intervals = np.stack([sf.ys, sf.lxs, sf.rxs], axis=1)
+    lab = util.rasterize_ids(sf.region_ids.astype(np.int64),
+                             sf.interval_counts, intervals,
+                             sf.frame_height, sf.frame_width)
+    mesh, polys = boundary.compute_vectorization(
+        lab, sf.region_ids, sf.interval_counts, sf.ys, sf.lxs, sf.rxs)
+    desc = proto.SegmentationDesc()
+    desc.ParseFromString(payload)
+    boundary.vectorization_to_proto(desc, mesh, polys, remove_rasterization)
+    return desc.SerializeToString()

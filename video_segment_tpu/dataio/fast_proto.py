@@ -64,11 +64,16 @@ def encode_varint(v: int) -> bytes:
             return bytes(out)
 
 
+_MOMENTS_PAYLOAD = 30                    # six 1-byte tags + float32 each
+_MOMENTS_ENTRY = 2 + _MOMENTS_PAYLOAD    # 0x2A + len + payload
+
+
 def encode_regions(region_ids: np.ndarray,
                    interval_counts: np.ndarray,
                    ys: np.ndarray,
                    lxs: np.ndarray,
-                   rxs: np.ndarray) -> bytes:
+                   rxs: np.ndarray,
+                   moments: np.ndarray | None = None) -> bytes:
     """Serialize the `region` field (repeated Region2D with rasters).
 
     Args:
@@ -78,6 +83,8 @@ def encode_regions(region_ids: np.ndarray,
         region r occupy the next `interval_counts[r]` slots of ys/lxs/rxs in
         (y, x) lexicographic order.
       ys, lxs, rxs: (I,) scanline y, left_x, right_x (inclusive) per interval.
+      moments: optional (R,6) float32 ShapeMoments
+        [size, mean_x, mean_y, moment_xx, moment_xy, moment_yy].
     """
     region_ids = np.asarray(region_ids, np.int64)
     interval_counts = np.asarray(interval_counts, np.int64)
@@ -100,9 +107,10 @@ def encode_regions(region_ids: np.ndarray,
     centry = np.concatenate(([0], np.cumsum(ientry)))
     raster_len = centry[ends] - centry[starts]
 
+    m_entry = _MOMENTS_ENTRY if moments is not None else 0
     s_id = _varint_len(region_ids)
     s_rlen = _varint_len(raster_len)
-    region_payload = (1 + s_id) + (1 + s_rlen) + raster_len
+    region_payload = (1 + s_id) + (1 + s_rlen) + raster_len + m_entry
     s_rp = _varint_len(region_payload)
     region_entry = 1 + s_rp + region_payload
 
@@ -121,6 +129,18 @@ def encode_regions(region_ids: np.ndarray,
     buf[o] = 0x1A
     _write_varints(buf, o + 1, raster_len, s_rlen)
     iblock = o + 1 + s_rlen              # start of this region's intervals
+
+    if moments is not None:
+        # Fixed 32-byte shape_moments block after the raster.
+        m = np.ascontiguousarray(moments, "<f4").view(np.uint8).reshape(R, 6, 4)
+        mo = (iblock + raster_len)[:, None]
+        buf[mo[:, 0]] = 0x2A
+        buf[mo[:, 0] + 1] = _MOMENTS_PAYLOAD
+        tags = np.arange(1, 7, dtype=np.uint8) << 3 | 5  # wire type 5
+        pos = mo + 2 + np.arange(6)[None, :] * 5
+        buf[pos] = tags[None, :]
+        for b_i in range(4):
+            buf[pos + 1 + b_i] = m[:, :, b_i]
 
     # Interval entries: global offset = region block start + intra-region csum.
     region_of = np.repeat(np.arange(R), interval_counts)
@@ -145,6 +165,7 @@ def encode_frame(region_ids: np.ndarray,
                  ys: np.ndarray,
                  lxs: np.ndarray,
                  rxs: np.ndarray,
+                 moments: np.ndarray | None = None,
                  *,
                  frame_width: int,
                  frame_height: int,
@@ -176,7 +197,7 @@ def encode_frame(region_ids: np.ndarray,
         for level in hierarchy:
             desc.hierarchy.add().CopyFrom(level)
     tail = desc.SerializeToString()
-    head = encode_regions(region_ids, interval_counts, ys, lxs, rxs)
+    head = encode_regions(region_ids, interval_counts, ys, lxs, rxs, moments)
     return head + tail
 
 

@@ -57,6 +57,35 @@ def region_sizes(labels: np.ndarray, num_regions: int) -> np.ndarray:
     return np.bincount(labels.ravel(), minlength=num_regions).astype(np.int64)
 
 
+def shape_moments(interval_counts: np.ndarray, ys: np.ndarray,
+                  lxs: np.ndarray, rxs: np.ndarray) -> np.ndarray:
+    """Per-region ShapeMoments from RLE intervals (closed-form sums).
+
+    Returns (R,6): [size, mean_x, mean_y, E[x^2], E[xy], E[y^2]] — the
+    non-central normalized moments the reference stores
+    (segmentation_util.cpp:243-280 consumes them as E[..]).
+    """
+    y = ys.astype(np.float64)
+    a = lxs.astype(np.float64)
+    b = rxs.astype(np.float64)
+    n = b - a + 1.0
+    sx = (a + b) * n / 2.0
+    # sum_{x=a..b} x^2 = (b(b+1)(2b+1) - (a-1)a(2a-1)) / 6
+    sxx = (b * (b + 1) * (2 * b + 1) - (a - 1) * a * (2 * a - 1)) / 6.0
+    sy = y * n
+    syy = y * y * n
+    sxy = y * sx
+
+    r = len(interval_counts)
+    idx = np.repeat(np.arange(r), interval_counts)
+    out = np.zeros((r, 6), np.float64)
+    np.add.at(out, idx, np.stack([n, sx, sy, sxx, sxy, syy], axis=1))
+    size = np.maximum(out[:, 0], 1.0)
+    return np.stack([out[:, 0], out[:, 1] / size, out[:, 2] / size,
+                     out[:, 3] / size, out[:, 4] / size, out[:, 5] / size],
+                    axis=1).astype(np.float32)
+
+
 def neighbor_pairs(labels: np.ndarray) -> np.ndarray:
     """Unique adjacent (a,b) region pairs (a<b) over a (T,H,W) label volume.
 

@@ -76,6 +76,44 @@ def rasterize_ids(draw_ids, counts, intervals, h, w) -> np.ndarray:
     return img.reshape(h, w)
 
 
+def replace_rasterization_from_vectorization(desc) -> None:
+    """Rebuild per-region RLE rasters from polygon vectorizations in place
+    (ReplaceRasterizationFromVectorization, segmentation_util.cpp:1238) —
+    used by consumers of rasterization-stripped streams."""
+    import cv2
+
+    coords = np.asarray(desc.vector_mesh.coord, np.float32)
+    h, w = desc.frame_height, desc.frame_width
+    for r in desc.region:
+        mask = np.zeros((h, w), np.uint8)
+        outers = []
+        holes = []
+        for poly in r.vectorization.polygon:
+            idx = np.asarray(poly.coord_idx, np.int64)
+            pts = np.stack([coords[idx], coords[idx + 1]],
+                           axis=1).astype(np.int32)
+            (holes if poly.hole else outers).append(pts)
+        if outers:
+            cv2.fillPoly(mask, outers, 1)
+        if holes:
+            cv2.fillPoly(mask, holes, 0)
+        r.ClearField("raster")
+        ys, xs = np.nonzero(mask)
+        if len(ys) == 0:
+            r.raster.SetInParent()
+            continue
+        start = np.ones(len(ys), bool)
+        start[1:] = (ys[1:] != ys[:-1]) | (xs[1:] != xs[:-1] + 1)
+        s_idx = np.flatnonzero(start)
+        e_idx = np.append(s_idx[1:], len(ys)) - 1
+        for s, e in zip(s_idx, e_idx):
+            si = r.raster.scan_inter.add()
+            si.y = int(ys[s])
+            si.left_x = int(xs[s])
+            si.right_x = int(xs[e])
+    desc.rasterization_removed = False
+
+
 def build_global_hierarchy(chunk_hierarchies: list) -> list:
     """Merge per-chunk hierarchies into one video-global hierarchy
     (BuildGlobalHierarchy, segmentation_util.cpp:877-923).

@@ -99,48 +99,83 @@ def main(argv=None):
         render_writer = video.VideoWriter(render_path, info.width,
                                           info.height, info.fps)
 
-    def consume(frames):
+    vectorize = args.write_to_file and not args.over_segment
+
+    def consume_one(sf):
         nonlocal n_out
-        for sf in frames:
-            if writer is not None:
-                writer.add_to_chunk(emit.segframe_to_bytes(sf),
-                                    pts=reader.pts_of(sf.frame_index))
-                if sf.hierarchy is not None and n_out > 0:
-                    writer.write_chunk()
-            if render_writer is not None:
-                img = render_util.render_segframe(sf)
-                render_writer.write(img)
-            n_out += 1
-            if n_out % 20 == 0:
-                print(f"__STREAMING_SIZE__: {n_out}")
+        if writer is not None:
+            writer.add_to_chunk(
+                emit.segframe_to_bytes(sf, vectorize=vectorize),
+                pts=reader.pts_of(sf.frame_index))
+            if sf.hierarchy is not None and n_out > 0:
+                writer.write_chunk()
+        if render_writer is not None:
+            render_writer.write(render_util.render_segframe(sf))
+        n_out += 1
+        if n_out % 20 == 0:
+            print(f"__STREAMING_SIZE__: {n_out}")
 
     t0 = time.time()
-    n_in = 0
     n_out = 0
-    prev_gray = None
 
-    def stage(frames_done, frame=None):
-        """Run one streaming step through dense (+ region) stages."""
-        flow = None
-        if frame is not None and flow_fn is not None:
-            flow = flow_fn.compute(frame, n_in)
-        if frame is not None and region_stage is not None:
-            region_stage.add_frame(n_in, frame, flow)
-        out = ds.process_frame(frames_done, frame, flow)
+    def flow_stage(item):
+        idx, frame = item
+        fl = flow_fn.compute(frame, idx) if flow_fn is not None else None
         if region_stage is not None:
-            out = region_stage.process_frames(frames_done, out)
-        consume(out)
+            region_stage.add_frame(idx, frame, fl)
+        return [(frame, fl)]
 
-    for frame in reader:
-        stage(False, frame)
-        n_in += 1
-    stage(True)
+    def dense_stage(item):
+        frame, fl = item
+        return ds.process_frame(False, frame, fl)
+
+    def region_fn(sf):
+        return region_stage.process_frames(False, [sf])
+
+    if args.use_pipeline:
+        from video_segment_tpu.runtime import pipeline as pl
+
+        stages = [pl.Stage("flow", flow_stage),
+                  pl.Stage("dense", dense_stage,
+                           flush=lambda: ds.process_frame(True))]
+        if region_stage is not None:
+            stages.append(pl.Stage(
+                "region", region_fn,
+                flush=lambda: region_stage.process_frames(True, [])))
+        pipe = pl.Pipeline(stages, queue_size=10)
+        printer = (pl.StatusPrinter(pipe) if args.pipeline_status
+                   else None)
+        try:
+            if printer:
+                printer.__enter__()
+            for sf in pipe.run(enumerate(reader)):
+                consume_one(sf)
+        finally:
+            if printer:
+                printer.__exit__()
+    else:
+        n_in = 0
+        for frame in reader:
+            out = dense_stage(flow_stage((n_in, frame))[0])
+            if region_stage is not None:
+                out = [o for sf in out for o in region_fn(sf)]
+            for sf in out:
+                consume_one(sf)
+            n_in += 1
+        out = ds.process_frame(True)
+        if region_stage is not None:
+            out = ([o for sf in out for o in region_fn(sf)]
+                   + region_stage.process_frames(True, []))
+        for sf in out:
+            consume_one(sf)
 
     if writer is not None:
         writer.write_term_and_close()
     if render_writer is not None:
         render_writer.close()
     reader.close()
+    if flow_fn is not None:
+        flow_fn.close()
 
     dt = time.time() - t0
     fps = n_out / dt if dt > 0 else 0.0
