@@ -1,0 +1,67 @@
+"""Native kernels + spatial connectedness enforcement tests."""
+
+import numpy as np
+
+from video_segment_tpu import native
+from video_segment_tpu.core import connectedness
+
+
+def test_native_available():
+    assert native.available(), "native library failed to build"
+
+
+def test_multi_label_cc():
+    lab = np.array([[1, 1, 2, 2],
+                    [1, 3, 3, 2],
+                    [1, 1, 3, 1]], np.int32)
+    comp, n = native.multi_label_cc(lab)
+    # label 1: two components (left blob + bottom-right pixel); 2: one; 3: one
+    assert n == 4
+    assert comp[0, 0] == comp[2, 1]          # left blob connected
+    assert comp[2, 3] != comp[0, 0]          # island of label 1
+    assert comp[0, 2] == comp[1, 3]
+
+
+def test_native_rle_matches_numpy():
+    rng = np.random.default_rng(3)
+    lab = rng.integers(0, 5, size=(20, 30)).astype(np.int64)
+    ids, ys, lxs, rxs = native.rle_encode(lab)
+    # Reconstruct.
+    img = np.zeros_like(lab)
+    for v, y, l, r in zip(ids, ys, lxs, rxs):
+        img[y, l:r + 1] = v
+    np.testing.assert_array_equal(img, lab)
+
+
+def test_enforce_spatial_connectedness_splits_islands():
+    # Region 1 has two islands in every frame, connected to nothing.
+    t, h, w = 3, 20, 30
+    lab = np.zeros((t, h, w), np.int32)
+    lab[:, 2:8, 2:8] = 1     # island A (36 px/frame)
+    lab[:, 12:18, 20:28] = 1  # island B (48 px/frame) — larger, keeps id
+    out, n, origin = connectedness.enforce_spatial_connectedness(lab, 2)
+    assert n == 3
+    assert origin[2] == 1
+    assert (out[:, 12:18, 20:28] == 1).all()   # largest tube keeps the id
+    assert (out[:, 2:8, 2:8] == 2).all()       # split-off island renamed
+    assert (out[:, 0, 0] == 0).all()
+
+
+def test_enforce_keeps_connected_regions():
+    t, h, w = 2, 10, 10
+    lab = np.zeros((t, h, w), np.int32)
+    lab[:, 4:, :] = 1
+    out, n, origin = connectedness.enforce_spatial_connectedness(lab, 2)
+    assert n == 2
+    np.testing.assert_array_equal(out, lab)
+
+
+def test_tiny_islands_not_split():
+    # A 2-px island (below min avg tube area) stays with its region.
+    t, h, w = 2, 12, 12
+    lab = np.zeros((t, h, w), np.int32)
+    lab[:, 2:8, 2:8] = 1
+    lab[:, 10, 10] = 1
+    out, n, origin = connectedness.enforce_spatial_connectedness(lab, 2)
+    assert n == 2
+    assert (out[:, 10, 10] == 1).all()

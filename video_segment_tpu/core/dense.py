@@ -190,6 +190,19 @@ class DenseSegmentation:
         num_regions = len(roots)
         constr_of_region = constr_all[roots]
 
+        if self.options.enforce_spatial_connectedness:
+            from video_segment_tpu.core import connectedness
+            compact, n2, _origin = \
+                connectedness.enforce_spatial_connectedness(compact,
+                                                            num_regions)
+            if n2 > num_regions:
+                # Split-off tubes are new, unconstrained regions
+                # (dense_segmentation_graph.h:867-904 relabels them).
+                constr_of_region = np.concatenate(
+                    [constr_of_region,
+                     np.full(n2 - num_regions, -1, constr_of_region.dtype)])
+                num_regions = n2
+
         # Global id assignment (AssignUniqueRegionIds).
         gids = np.full(num_regions, -1, np.int64)
         constrained = constr_of_region >= 0

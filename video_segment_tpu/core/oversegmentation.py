@@ -81,9 +81,9 @@ class OversegParams(NamedTuple):
     max_constraints: int = 1 << 16
     # Ascending bucket thresholds; each runs Boruvka rounds to a fixed point.
     schedule: tuple = (4, 32, 192, 1024, 2047)
-    max_rounds_per_level: int = 12
-    max_final_rounds: int = 24
-    min_size_rounds: int = 24
+    max_rounds_per_level: int = 8
+    max_final_rounds: int = 12
+    min_size_rounds: int = 12
 
 
 class SolverState(NamedTuple):

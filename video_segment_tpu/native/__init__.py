@@ -1,0 +1,97 @@
+"""ctypes bindings for the native host kernels (built on first import).
+
+Falls back to None handles if the toolchain is unavailable; callers keep a
+pure-NumPy/SciPy path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "vst_native.cc")
+_LIB = os.path.join(_HERE, "vst_native.so")
+
+_lib = None
+
+
+def _build() -> bool:
+    try:
+        if (not os.path.exists(_LIB)
+                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 "-o", _LIB, _SRC],
+                check=True, capture_output=True)
+        return True
+    except Exception:
+        return False
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _build():
+        return None
+    lib = ctypes.CDLL(_LIB)
+    lib.multi_label_cc.restype = ctypes.c_int32
+    lib.multi_label_cc.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32)]
+    lib.rle_encode_rows.restype = ctypes.c_int64
+    lib.rle_encode_rows.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def multi_label_cc(labels: np.ndarray):
+    """(H,W) int32 labels -> (components (H,W) int32, n_components).
+
+    Components are N4-connected within equal labels only."""
+    lib = _load()
+    h, w = labels.shape
+    labels = np.ascontiguousarray(labels, np.int32)
+    comp = np.empty((h, w), np.int32)
+    if lib is not None:
+        n = lib.multi_label_cc(
+            labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), h, w,
+            comp.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return comp, int(n)
+    # SciPy fallback: per-label ndimage.label over bounding boxes.
+    from scipy import ndimage
+
+    comp.fill(-1)
+    next_id = 0
+    for lab in np.unique(labels):
+        mask = labels == lab
+        cc, k = ndimage.label(mask)
+        comp[mask] = cc[mask] - 1 + next_id
+        next_id += k
+    return comp, next_id
+
+
+def rle_encode(labels: np.ndarray):
+    """(H,W) int labels -> (ids, ys, lxs, rxs) run arrays (row-major)."""
+    lib = _load()
+    h, w = labels.shape
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    labels = np.ascontiguousarray(labels, np.int64)
+    cap = h * w
+    out = np.empty((cap, 4), np.int64)
+    n = lib.rle_encode_rows(
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), h, w,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), cap)
+    runs = out[:n]
+    return runs[:, 0], runs[:, 1], runs[:, 2], runs[:, 3]
