@@ -72,9 +72,13 @@ def main(argv=None):
     flow_fn = None
     if args.flow:
         from video_segment_tpu.core import flow as flow_mod
+        # Reuse <input>.flow transparently when present (seg_tree.cpp:120-126);
+        # write it when --save_flow.
+        cache = args.input_file + ".flow"
+        if not (args.save_flow or os.path.exists(cache)):
+            cache = None
         flow_fn = flow_mod.FlowEngine(info.width, info.height,
-                                      cache_path=(args.input_file + ".flow"
-                                                  if args.save_flow else None))
+                                      cache_path=cache)
 
     opts = DenseSegmentationOptions(chunk_size=args.chunk_size)
     ds = dense.DenseSegmentation(opts, info.width, info.height)
