@@ -9,12 +9,16 @@ region_segmentation_graph.cpp:73-177):
   re-evaluates after every single merge; level-granular re-evaluation is the
   batched approximation).
 - Each sub-round, every region proposes its minimum-weight incident edge;
-  the globally smallest `budget` proposals are merged simultaneously
-  (direction-parity hooking, pointer jumping), so the number of merges per
-  level matches the reference's level cutoff (level size * (1 - cutoff),
+  the globally smallest `budget` proposals merge simultaneously
+  (direction-parity hooking, pointer jumping), so the merges per level match
+  the reference's level cutoff (level size * (1 - cutoff),
   segmentation.cpp:305-389; level 0 cut to max_region_num).
 - Region statistics (histograms, per-frame flow histograms/counts, sizes)
-  are merged with segment-sums.
+  merge with segment-sums.
+
+One device program runs a whole level (target computation, median region
+size for the penalizer, distance evaluation, a fixed number of sub-rounds),
+so the host syncs once per hierarchy level.
 
 Returns per-level root assignments over the original region index space;
 callers compose them into parent/child hierarchies and remapped rasters.
@@ -22,6 +26,7 @@ callers compose them into parent/child hierarchies and remapped rasters.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -42,7 +47,6 @@ class AggloState(NamedTuple):
     sizes: jnp.ndarray      # (R,) f32
 
 
-@jax.jit
 def _eval_distances(state: AggloState, edges, evalid, inv_median, use_flow,
                     penalizer):
     ra = state.label[edges[:, 0]]
@@ -61,7 +65,6 @@ def _eval_distances(state: AggloState, edges, evalid, inv_median, use_flow,
     return jnp.where(evalid & (ra != rb), d, jnp.inf)
 
 
-@jax.jit
 def _merge_subround(state: AggloState, edges, d, budget, up):
     r = state.label.shape[0]
     ra = state.label[edges[:, 0]]
@@ -82,7 +85,8 @@ def _merge_subround(state: AggloState, edges, d, budget, up):
     # Keep only the globally smallest `budget` proposals.
     order = jnp.sort(jnp.where(partner < _I32MAX, best, _I32MAX))
     kth = order[jnp.clip(budget - 1, 0, r - 1)]
-    admit = (partner < _I32MAX) & (best <= kth) & (best < _I32MAX)
+    admit = ((partner < _I32MAX) & (best <= kth) & (best < _I32MAX)
+             & (budget > 0))
 
     slots = jnp.arange(r, dtype=jnp.int32)
     hook = admit & ((partner > slots) == up)
@@ -100,10 +104,47 @@ def _merge_subround(state: AggloState, edges, d, budget, up):
     return AggloState(label, hist, fh, fc, sizes), moved
 
 
+@functools.partial(jax.jit, static_argnames=("max_subrounds",))
+def _run_level(state: AggloState, edges, evalid, is_level0, max_region_num,
+               min_region_num, cutoff_fraction, use_flow, penalizer,
+               max_subrounds: int):
+    r = state.label.shape[0]
+    slots = jnp.arange(r, dtype=jnp.int32)
+    active_mask = (state.label == slots) & (state.sizes > 0)
+    active = jnp.sum(active_mask.astype(jnp.int32))
+
+    cut_target = jnp.where(
+        is_level0 & (active > max_region_num), max_region_num,
+        jnp.maximum(min_region_num,
+                    (active.astype(jnp.float32)
+                     * cutoff_fraction).astype(jnp.int32)))
+    budget_total = jnp.maximum(active - cut_target, 0)
+
+    sz_sorted = jnp.sort(jnp.where(active_mask, state.sizes, jnp.inf))
+    median = sz_sorted[jnp.clip(active // 2, 0, r - 1)]
+    inv_median = 1.0 / jnp.maximum(median, 1.0)
+
+    d = _eval_distances(state, edges, evalid, inv_median, use_flow,
+                        penalizer)
+
+    def body(i, carry):
+        st, merged, dd = carry
+        st, moved = _merge_subround(st, edges, dd, budget_total - merged,
+                                    (i % 2) == 0)
+        ra = st.label[edges[:, 0]]
+        rb = st.label[edges[:, 1]]
+        dd = jnp.where(ra != rb, dd, jnp.inf)
+        return st, merged + moved, dd
+
+    state, merged, _ = jax.lax.fori_loop(0, max_subrounds, body,
+                                         (state, jnp.int32(0), d))
+    return state, active - merged
+
+
 def agglomerate(hist, flow_hist, flow_cnt, sizes, edges, num_regions: int,
                 *, min_region_num: int = 10, max_region_num: int = 10000,
                 cutoff_fraction: float = 0.8, penalizer: float = 0.25,
-                use_flow: bool = True, max_subrounds: int = 8):
+                use_flow: bool = True, max_subrounds: int = 6):
     """Run the full level loop; returns list of per-level (R,) root arrays.
 
     Regions with index >= num_regions must be padding (zero stats); their
@@ -122,45 +163,15 @@ def agglomerate(hist, flow_hist, flow_cnt, sizes, edges, num_regions: int,
     active = num_regions
     level = 0
     while active > min_region_num:
-        if level == 0 and active > max_region_num:
-            target = max_region_num
-        else:
-            target = max(min_region_num, int(active * cutoff_fraction))
-        budget_total = active - target
-        if budget_total <= 0:
-            break
-
-        sizes_np = np.asarray(state.sizes)
-        lab_np = np.asarray(state.label)
-        root_mask = lab_np == np.arange(r)
-        act_sizes = sizes_np[root_mask & (sizes_np > 0)]
-        median = np.median(act_sizes) if len(act_sizes) else 1.0
-        inv_median = np.float32(1.0 / max(median, 1.0))
-
-        d = _eval_distances(state, edges, evalid, inv_median, use_flow_f,
-                            jnp.float32(penalizer))
-
-        merged = 0
-        for sub in range(max_subrounds):
-            budget = budget_total - merged
-            if budget <= 0:
-                break
-            state, moved = _merge_subround(state, edges, d,
-                                           jnp.int32(budget),
-                                           jnp.bool_(sub % 2 == 0))
-            moved = int(moved)
-            if moved == 0:
-                break
-            merged += moved
-            # Internal edges collapse (ra==rb) and drop out; distances for
-            # merged survivors stay cached until the next level's re-eval.
-            ra = state.label[edges[:, 0]]
-            rb = state.label[edges[:, 1]]
-            d = jnp.where(ra != rb, d, jnp.inf)
-
-        if merged == 0:
-            break  # disconnected remainder
-        active -= merged
+        state, new_active = _run_level(
+            state, edges, evalid, jnp.bool_(level == 0),
+            jnp.int32(max_region_num), jnp.int32(min_region_num),
+            jnp.float32(cutoff_fraction), use_flow_f,
+            jnp.float32(penalizer), max_subrounds)
+        new_active = int(new_active)
+        if new_active >= active:
+            break  # no progress (disconnected remainder)
+        active = new_active
         levels.append(np.asarray(state.label).copy())
         level += 1
     return levels

@@ -84,6 +84,12 @@ class OversegParams(NamedTuple):
     max_rounds_per_level: int = 8
     max_final_rounds: int = 12
     min_size_rounds: int = 12
+    # After `compact_after_levels` schedule levels, the region space is
+    # renumbered into a dense table of n_pix//compact_divisor slots, making
+    # per-round statistics updates cost O(regions) instead of O(pixels).
+    # Regions beyond the table (pathological inputs only) become inert.
+    compact_after_levels: int = 1
+    compact_divisor: int = 2
 
 
 class SolverState(NamedTuple):
@@ -248,9 +254,11 @@ def _apply_merge(state: SolverState, partner, n, up=None):
     hooking cannot cycle, which matters because flow-displaced edges are
     seen with different weights from their two endpoints.
 
-    Returns (state, moved, candidates): candidates counts regions that had
-    an admissible partner regardless of parity, so callers can terminate a
-    phase the moment no admissible edges remain."""
+    `n` is the segment-domain size: the pixel count before compaction, the
+    compact table size after.  Returns (state, moved, candidates):
+    candidates counts regions that had an admissible partner regardless of
+    parity, so callers can terminate a phase the moment no admissible edges
+    remain."""
     slots = jnp.arange(n, dtype=jnp.int32)
     have = partner < _I32MAX
     hook = have
@@ -273,12 +281,13 @@ def _apply_merge(state: SolverState, partner, n, up=None):
         jnp.sum(have)
 
 
-def _round(state: SolverState, vol, flow, theta, up, mode,
+def _round(state: SolverState, vol, flow, theta, up, mode, n, sink,
            p: OversegParams):
     """One Boruvka round.  mode selects regular-merge or min-size-forcing
-    admissibility (one compiled body serves both phases)."""
+    admissibility (one compiled body serves both phases).  `n` is the
+    segment-domain size; `sink` the inert overflow slot (-1 when absent) —
+    sink regions never merge in either direction."""
     t, h, w, _ = vol.shape
-    n = t * h * w
     feats, label3 = _features(state, vol)
     own_mean = feats[..., _C_MEAN]
     own_size = feats[..., _C_SIZE]
@@ -286,11 +295,13 @@ def _round(state: SolverState, vol, flow, theta, up, mode,
     own_fin = feats[..., _C_FIN] > 0
     is_min_size = mode == MODE_MIN_SIZE
     own_small = own_size < p.min_region_size
+    own_live = label3 != sink
 
     best_bucket = jnp.full((t, h, w), _I32MAX, jnp.int32)
     best_partner = jnp.full((t, h, w), _I32MAX, jnp.int32)
     for d in _iter_dirs(feats, label3, flow, p.metric, SPATIAL_FWD, False):
-        act = d.valid & (d.nb_label != label3)
+        act = (d.valid & (d.nb_label != label3) & own_live
+               & (d.nb_label != sink))
         dd = _desc_distance(own_mean, d.nb_mean, d.bucket, p)
         either_free = (own_constr < 0) | (d.nb_constr < 0)
         regular = (either_free & ~own_fin & ~d.nb_fin
@@ -312,12 +323,11 @@ def _round(state: SolverState, vol, flow, theta, up, mode,
     return _apply_merge(state, partner, n, up=up)
 
 
-def _level_end(state: SolverState, vol, flow, theta, p: OversegParams):
+def _level_end(state: SolverState, vol, flow, theta, n, p: OversegParams):
     """Finalize failed merge tests and unconstrain split regions at level end
     (segmentation_graph.h:399-402, 416-435).  Enumerates both edge views so
     both regions get flagged."""
     t, h, w, _ = vol.shape
-    n = t * h * w
     feats, label3 = _features(state, vol)
     own_mean = feats[..., _C_MEAN]
     own_size = feats[..., _C_SIZE]
@@ -357,9 +367,12 @@ def _merge_constrained(state: SolverState, num_constraints: int, n: int,
     segmentation_graph.h:703-786): frozen (virtual-role) regions always merge
     into their group's representative; real regions merge when descriptor
     distance <= split threshold and are unconstrained otherwise.  Hooks form
-    a star onto the representative — no cycles possible."""
+    a star onto the representative — no cycles possible.
+
+    Runs in compact space, where live roots are exactly the slots with
+    positive size (dead slots re-aggregate to zero)."""
     slots = jnp.arange(n, dtype=jnp.int32)
-    is_root = state.label[slots] == slots
+    is_root = state.size > 0
     cid = jnp.where(is_root & (state.constr >= 0), state.constr,
                     num_constraints)
     frozen_slot = jnp.where(state.frozen, slots, _I32MAX)
@@ -382,25 +395,59 @@ def _merge_constrained(state: SolverState, num_constraints: int, n: int,
     return state
 
 
+def _compact(state: SolverState, n_pix: int, r_cap: int):
+    """Renumber live roots into a dense table of r_cap slots (+1 sink).
+
+    Pixels keep compact memberships from here on; roots beyond the table
+    (pathological inputs only) map to the inert sink slot r_cap.  Returns
+    the compacted state plus the original root id per pixel (for final
+    label reconstruction)."""
+    slots = jnp.arange(n_pix, dtype=jnp.int32)
+    is_root = state.label[slots] == slots
+    cidx_all = jnp.cumsum(is_root.astype(jnp.int32)) - 1
+    ok = is_root & (cidx_all < r_cap)
+    cidx = jnp.where(ok, cidx_all, r_cap)      # per-slot compact id / sink
+    clabel = cidx[state.label]                 # per-pixel membership
+
+    nseg = r_cap + 1
+    csum = jax.ops.segment_sum(state.csum, cidx, num_segments=nseg)
+    size = jax.ops.segment_sum(jnp.where(is_root, state.size, 0.0), cidx,
+                               num_segments=nseg)
+    constr = jax.ops.segment_max(
+        jnp.where(is_root, state.constr, -1), cidx, num_segments=nseg)
+    fin = jax.ops.segment_max(
+        (is_root & state.fin).astype(jnp.int32), cidx, num_segments=nseg) > 0
+    frozen = jax.ops.segment_max(
+        (is_root & state.frozen).astype(jnp.int32), cidx,
+        num_segments=nseg) > 0
+    # Sink must never merge: mark finalized with no constraint.
+    fin = fin.at[r_cap].set(True)
+    constr = constr.at[r_cap].set(-1)
+    cstate = SolverState(clabel, csum, size, constr, fin, frozen)
+    return cstate, state.label
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("params", "has_flow", "has_constraints"))
 def _solve(vol, flow, init_label, constr_init, frozen_init,
            params: OversegParams, has_flow: bool, has_constraints: bool):
     t, h, w, _ = vol.shape
-    n = t * h * w
+    n_pix = t * h * w
     fl = flow if has_flow else None
 
-    ones = jnp.ones(n, jnp.float32)
-    csum = jax.ops.segment_sum(vol.reshape(n, 3), init_label, num_segments=n)
-    size = jax.ops.segment_sum(ones, init_label, num_segments=n)
-    constr = jax.ops.segment_max(constr_init, init_label, num_segments=n)
+    ones = jnp.ones(n_pix, jnp.float32)
+    csum = jax.ops.segment_sum(vol.reshape(n_pix, 3), init_label,
+                               num_segments=n_pix)
+    size = jax.ops.segment_sum(ones, init_label, num_segments=n_pix)
+    constr = jax.ops.segment_max(constr_init, init_label,
+                                 num_segments=n_pix)
     frozen = jax.ops.segment_max(frozen_init.astype(jnp.int32), init_label,
-                                 num_segments=n) > 0
+                                 num_segments=n_pix) > 0
     state = SolverState(init_label, csum, size, constr,
-                        jnp.zeros(n, bool), frozen)
+                        jnp.zeros(n_pix, bool), frozen)
 
-    def run_rounds(state, theta, max_rounds, mode):
+    def run_rounds(state, theta, max_rounds, mode, n, sink):
         # Hook parity alternates per round.  Terminate immediately once no
         # admissible edges remain, or after two merge-free rounds (both
         # parities blocked).
@@ -411,7 +458,7 @@ def _solve(vol, flow, init_label, constr_init, frozen_init,
         def body(carry):
             st, i, idle = carry
             st, moved, cands = _round(st, vol, fl, theta, (i % 2) == 0,
-                                      mode, params)
+                                      mode, n, sink, params)
             idle = jnp.where(cands == 0, 2,
                              jnp.where(moved > 0, 0, idle + 1))
             return st, i + 1, idle
@@ -420,31 +467,62 @@ def _solve(vol, flow, init_label, constr_init, frozen_init,
             cond, body, (state, jnp.int32(0), jnp.int32(0)))
         return state
 
-    # Levels run inside a fori_loop with theta as a traced lookup so the
-    # (large) stencil bodies compile exactly once, not once per level.
+    # Levels run inside fori_loops with theta as a traced lookup so each
+    # phase's (large) stencil bodies compile exactly once.
     n_levels = len(params.schedule)
     thetas = jnp.asarray(params.schedule, jnp.int32)
     level_rounds = jnp.asarray(
         [params.max_rounds_per_level] * (n_levels - 1)
         + [params.max_final_rounds], jnp.int32)
 
-    def level_body(l, state):
-        state = run_rounds(state, thetas[l], level_rounds[l],
-                           jnp.int32(MODE_MERGE))
-        return _level_end(state, vol, fl, thetas[l], params)
+    def make_level_body(n, sink):
+        def level_body(l, state):
+            state = run_rounds(state, thetas[l], level_rounds[l],
+                               jnp.int32(MODE_MERGE), n, sink)
+            return _level_end(state, vol, fl, thetas[l], n, params)
+        return level_body
 
-    state = jax.lax.fori_loop(0, n_levels, level_body, state)
+    # Phase A: pixel-space region slots for the first (cheap-theta) levels.
+    n_a = min(max(params.compact_after_levels, 0), n_levels)
+    state = jax.lax.fori_loop(0, n_a, make_level_body(n_pix, -1), state)
+
+    # Compact, then phase B in the dense region table.
+    r_cap = min(max(n_pix // params.compact_divisor, 1 << 14), n_pix)
+    nseg = r_cap + 1
+    state, orig_label = _compact(state, n_pix, r_cap)
+
+    state = jax.lax.fori_loop(n_a, n_levels, make_level_body(nseg, r_cap),
+                              state)
 
     if params.min_region_size > 1:
         state = run_rounds(state, jnp.int32(NUM_BUCKETS),
                            jnp.int32(params.min_size_rounds),
-                           jnp.int32(MODE_MIN_SIZE))
+                           jnp.int32(MODE_MIN_SIZE), nseg, r_cap)
 
     if has_constraints:
-        state = _merge_constrained(state, params.max_constraints, n, params)
+        state = _merge_constrained(state, params.max_constraints, nseg,
+                                   params)
 
-    return OversegResult(label=state.label.reshape(t, h, w),
-                         constr=state.constr, size=state.size)
+    # Reconstruct labels in original root-voxel space: each compact region
+    # takes its minimum original root; sink pixels keep their phase-A root.
+    sink = r_cap
+    orig_min = jax.ops.segment_min(orig_label, state.label,
+                                   num_segments=nseg)
+    final = jnp.where(state.label == sink, orig_label,
+                      orig_min[state.label])
+    # Scatter compact-space attributes back to original root slots (the
+    # sink pools unrelated overflow regions, so it is excluded — its
+    # regions come out unconstrained with sizes recomputed by the caller).
+    live = (state.size > 0) & (jnp.arange(nseg) != sink)
+    tgt = jnp.where(live, orig_min, 0)
+    constr_out = jnp.full(n_pix, -1, jnp.int32)
+    constr_out = constr_out.at[tgt].max(
+        jnp.where(live, state.constr, -1))
+    size_out = jnp.zeros(n_pix, jnp.float32)
+    size_out = size_out.at[tgt].add(jnp.where(live, state.size, 0.0))
+
+    return OversegResult(label=final.reshape(t, h, w),
+                         constr=constr_out, size=size_out)
 
 
 def oversegment(vol, flow=None, constraints=None, init_label=None,

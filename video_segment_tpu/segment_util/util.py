@@ -46,8 +46,11 @@ def get_parent_id(region_id: int, level: int, query_level: int,
 
 def desc_to_id_image(desc, hierarchy=None, level: int = 0) -> np.ndarray:
     """Render a SegmentationDesc frame to an int64 id image at `level`
-    (SegmentationDescToIdImage, segmentation_util.cpp:741-770)."""
+    (SegmentationDescToIdImage, segmentation_util.cpp:741-770).  Streams
+    with stripped rasterizations are rebuilt from their vectorization."""
     h, w = desc.frame_height, desc.frame_width
+    if desc.rasterization_removed:
+        replace_rasterization_from_vectorization(desc)
     ids, counts, intervals = fast_proto.decode_rasterizations(desc)
     if level > 0:
         pm = parent_map(hierarchy, level)
