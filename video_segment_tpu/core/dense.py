@@ -90,6 +90,7 @@ class DenseSegmentation:
         self._params = base._replace(
             min_region_size=self.min_region_size,
             metric=options.color_distance,
+            two_stage=options.two_stage_oversegment,
             force_merge_weight=0.002 if options.color_distance == "l1"
             else 0.001)
 

@@ -90,6 +90,9 @@ class OversegParams(NamedTuple):
     # Regions beyond the table (pathological inputs only) become inert.
     compact_after_levels: int = 1
     compact_divisor: int = 2
+    # Segment spatial edges over the full schedule first, then everything
+    # (SegmentGraphSpatially, dense_segmentation_graph.h:406-416).
+    two_stage: bool = False
 
 
 class SolverState(NamedTuple):
@@ -282,11 +285,12 @@ def _apply_merge(state: SolverState, partner, n, up=None):
 
 
 def _round(state: SolverState, vol, flow, theta, up, mode, n, sink,
-           p: OversegParams):
+           p: OversegParams, use_temporal=True):
     """One Boruvka round.  mode selects regular-merge or min-size-forcing
     admissibility (one compiled body serves both phases).  `n` is the
     segment-domain size; `sink` the inert overflow slot (-1 when absent) —
-    sink regions never merge in either direction."""
+    sink regions never merge in either direction.  `use_temporal` (traced)
+    masks temporal directions for the two-stage spatial-only pre-pass."""
     t, h, w, _ = vol.shape
     feats, label3 = _features(state, vol)
     own_mean = feats[..., _C_MEAN]
@@ -299,9 +303,12 @@ def _round(state: SolverState, vol, flow, theta, up, mode, n, sink,
 
     best_bucket = jnp.full((t, h, w), _I32MAX, jnp.int32)
     best_partner = jnp.full((t, h, w), _I32MAX, jnp.int32)
-    for d in _iter_dirs(feats, label3, flow, p.metric, SPATIAL_FWD, False):
+    for k, d in enumerate(
+            _iter_dirs(feats, label3, flow, p.metric, SPATIAL_FWD, False)):
         act = (d.valid & (d.nb_label != label3) & own_live
                & (d.nb_label != sink))
+        if k >= len(SPATIAL_FWD):  # temporal direction
+            act = act & use_temporal
         dd = _desc_distance(own_mean, d.nb_mean, d.bucket, p)
         either_free = (own_constr < 0) | (d.nb_constr < 0)
         regular = (either_free & ~own_fin & ~d.nb_fin
@@ -323,7 +330,8 @@ def _round(state: SolverState, vol, flow, theta, up, mode, n, sink,
     return _apply_merge(state, partner, n, up=up)
 
 
-def _level_end(state: SolverState, vol, flow, theta, n, p: OversegParams):
+def _level_end(state: SolverState, vol, flow, theta, n, p: OversegParams,
+               use_temporal=True):
     """Finalize failed merge tests and unconstrain split regions at level end
     (segmentation_graph.h:399-402, 416-435).  Enumerates both edge views so
     both regions get flagged."""
@@ -337,8 +345,11 @@ def _level_end(state: SolverState, vol, flow, theta, n, p: OversegParams):
 
     fail_any = jnp.zeros((t, h, w), bool)
     uncon_any = jnp.zeros((t, h, w), bool)
-    for d in _iter_dirs(feats, label3, flow, p.metric, SPATIAL_ALL, True):
+    for k, d in enumerate(
+            _iter_dirs(feats, label3, flow, p.metric, SPATIAL_ALL, True)):
         act = d.valid & (d.nb_label != label3) & (d.bucket <= theta)
+        if k >= len(SPATIAL_ALL):  # temporal direction
+            act = act & use_temporal
         dd = _desc_distance(own_mean, d.nb_mean, d.bucket, p)
         either_free = (own_constr < 0) | (d.nb_constr < 0)
         fail = (act & either_free & ~own_fin & ~d.nb_fin
@@ -447,7 +458,8 @@ def _solve(vol, flow, init_label, constr_init, frozen_init,
     state = SolverState(init_label, csum, size, constr,
                         jnp.zeros(n_pix, bool), frozen)
 
-    def run_rounds(state, theta, max_rounds, mode, n, sink):
+    def run_rounds(state, theta, max_rounds, mode, n, sink,
+                   use_temporal=True):
         # Hook parity alternates per round.  Terminate immediately once no
         # admissible edges remain, or after two merge-free rounds (both
         # parities blocked).
@@ -458,7 +470,7 @@ def _solve(vol, flow, init_label, constr_init, frozen_init,
         def body(carry):
             st, i, idle = carry
             st, moved, cands = _round(st, vol, fl, theta, (i % 2) == 0,
-                                      mode, n, sink, params)
+                                      mode, n, sink, params, use_temporal)
             idle = jnp.where(cands == 0, 2,
                              jnp.where(moved > 0, 0, idle + 1))
             return st, i + 1, idle
@@ -475,12 +487,20 @@ def _solve(vol, flow, init_label, constr_init, frozen_init,
         [params.max_rounds_per_level] * (n_levels - 1)
         + [params.max_final_rounds], jnp.int32)
 
-    def make_level_body(n, sink):
+    def make_level_body(n, sink, use_temporal=True):
         def level_body(l, state):
             state = run_rounds(state, thetas[l], level_rounds[l],
-                               jnp.int32(MODE_MERGE), n, sink)
-            return _level_end(state, vol, fl, thetas[l], n, params)
+                               jnp.int32(MODE_MERGE), n, sink, use_temporal)
+            return _level_end(state, vol, fl, thetas[l], n, params,
+                              use_temporal)
         return level_body
+
+    if params.two_stage:
+        # Spatial-only pre-pass over the whole schedule
+        # (SegmentGraphSpatially, dense_segmentation_graph.h:406-416).
+        state = jax.lax.fori_loop(
+            0, n_levels,
+            make_level_body(n_pix, -1, use_temporal=jnp.bool_(False)), state)
 
     # Phase A: pixel-space region slots for the first (cheap-theta) levels.
     n_a = min(max(params.compact_after_levels, 0), n_levels)

@@ -92,6 +92,70 @@ class SegmentationWriter:
         self._file.flush()
 
 
+def strip_to_essentials(desc, save_vectorization: bool = True,
+                        save_shape_moments: bool = False) -> bytes:
+    """Compact custom binary frame encoding for the web annotator
+    (byte-compatible with StripToEssentials, segmentation_io.cpp:311-440):
+    little-endian width/height, optional short-packed vector mesh, per-region
+    id + polygons (or int16 scanlines) + optional integer moments, then the
+    hierarchy (id, size, parent, children per compound region)."""
+    import io
+
+    out = io.BytesIO()
+
+    def w_i32(v):
+        out.write(struct.pack("<i", int(v)))
+
+    def w_i16(v):
+        out.write(struct.pack("<h", int(v)))
+
+    def w_u8(v):
+        out.write(struct.pack("<B", int(v)))
+
+    w_i32(desc.frame_width)
+    w_i32(desc.frame_height)
+
+    if save_vectorization:
+        coords = desc.vector_mesh.coord
+        w_i32(len(coords))
+        for c in coords:
+            w_i16(int(c))
+
+    w_i32(len(desc.region))
+    for r in desc.region:
+        w_i32(r.id)
+        if save_vectorization:
+            w_i32(len(r.vectorization.polygon))
+            for poly in r.vectorization.polygon:
+                w_i16(len(poly.coord_idx))
+                w_u8(1 if poly.hole else 0)
+                for idx in poly.coord_idx:
+                    w_i16(idx)
+        else:
+            w_i32(len(r.raster.scan_inter))
+            for si in r.raster.scan_inter:
+                w_i16(si.y)
+                w_i16(si.left_x)
+                w_i16(si.right_x)
+        if save_shape_moments:
+            sm = r.shape_moments
+            for v in (sm.size, sm.mean_x, sm.mean_y, sm.moment_xx,
+                      sm.moment_xy, sm.moment_yy):
+                w_i32(v)
+
+    w_i32(len(desc.hierarchy))
+    for level in desc.hierarchy:
+        w_i32(len(level.region))
+        for cr in level.region:
+            w_i32(cr.id)
+            w_i32(cr.size)
+            w_i32(cr.parent_id)
+            w_i32(len(cr.child_id))
+            for c in cr.child_id:
+                w_i32(c)
+    return out.getvalue()
+
+
 class SegmentationReader:
     """Random-access reader over the chunked container."""
 

@@ -105,6 +105,16 @@ def main(argv=None):
 
     vectorize = args.write_to_file and not args.over_segment
 
+    display = None
+    if args.display >= 0:
+        import cv2
+        try:
+            cv2.namedWindow("seg_tree")
+            display = cv2
+        except cv2.error:
+            print("display unavailable (headless); ignoring --display",
+                  file=sys.stderr)
+
     def consume_one(sf):
         nonlocal n_out
         if writer is not None:
@@ -113,8 +123,13 @@ def main(argv=None):
                 pts=reader.pts_of(sf.frame_index))
             if sf.hierarchy is not None and n_out > 0:
                 writer.write_chunk()
-        if render_writer is not None:
-            render_writer.write(render_util.render_segframe(sf))
+        if render_writer is not None or display is not None:
+            img = render_util.render_segframe(sf)
+            if render_writer is not None:
+                render_writer.write(img)
+            if display is not None:
+                display.imshow("seg_tree", img)
+                display.waitKey(1)
         n_out += 1
         if n_out % 20 == 0:
             print(f"__STREAMING_SIZE__: {n_out}")
