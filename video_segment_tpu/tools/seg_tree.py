@@ -97,11 +97,18 @@ def main(argv=None):
             print(f"cannot open {out_path}", file=sys.stderr)
             return 1
 
-    render_writer = None
+    # Like the reference (seg_tree.cpp --render_and_save): one video per
+    # fractional level 0.1 / 0.4 / 0.75 (a single level-0 video when running
+    # over-segmentation only).
+    render_writers = []
     if args.render_and_save:
-        render_path = os.path.splitext(args.input_file)[0] + "_render.mp4"
-        render_writer = video.VideoWriter(render_path, info.width,
-                                          info.height, info.fps)
+        base = os.path.splitext(args.input_file)[0]
+        levels = [0.0] if args.over_segment else [0.1, 0.4, 0.75]
+        for lv in levels:
+            path = f"{base}_render_{int(lv * 100):02d}.mp4"
+            render_writers.append(
+                (lv, video.VideoWriter(path, info.width, info.height,
+                                       info.fps)))
 
     vectorize = args.write_to_file and not args.over_segment
 
@@ -115,20 +122,29 @@ def main(argv=None):
             print("display unavailable (headless); ignoring --display",
                   file=sys.stderr)
 
+    current_hierarchy = [None]
+
     def consume_one(sf):
         nonlocal n_out
+        if sf.hierarchy is not None:
+            from video_segment_tpu.dataio import emit as emit_mod
+            current_hierarchy[0] = emit_mod.hierarchy_to_proto(sf.hierarchy)
         if writer is not None:
             writer.add_to_chunk(
                 emit.segframe_to_bytes(sf, vectorize=vectorize),
                 pts=reader.pts_of(sf.frame_index))
             if sf.hierarchy is not None and n_out > 0:
                 writer.write_chunk()
-        if render_writer is not None or display is not None:
-            img = render_util.render_segframe(sf)
-            if render_writer is not None:
-                render_writer.write(img)
+        if render_writers or display is not None:
+            from video_segment_tpu.segment_util import util as su
+            hier = current_hierarchy[0]
+            for frac, vw in render_writers:
+                lvl = su.absolute_level(hier, frac)
+                vw.write(render_util.render_segframe(sf, hier, lvl))
             if display is not None:
-                display.imshow("seg_tree", img)
+                lvl = su.absolute_level(hier, max(args.display, 0.0))
+                display.imshow("seg_tree",
+                               render_util.render_segframe(sf, hier, lvl))
                 display.waitKey(1)
         n_out += 1
         if n_out % 20 == 0:
@@ -190,8 +206,8 @@ def main(argv=None):
 
     if writer is not None:
         writer.write_term_and_close()
-    if render_writer is not None:
-        render_writer.close()
+    for _, vw in render_writers:
+        vw.close()
     reader.close()
     if flow_fn is not None:
         flow_fn.close()
