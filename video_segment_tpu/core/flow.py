@@ -244,13 +244,19 @@ class FlowEngine:
         self._reader = None
         self._writer = None
         if cache_path and os.path.exists(cache_path):
-            r = FlowCacheReader(cache_path)
-            if (r.width, r.height) == (width, height):
-                self._reader = r
-            else:
-                r.close()
+            try:
+                r = FlowCacheReader(cache_path)
+                if (r.width, r.height) == (width, height):
+                    self._reader = r
+                else:
+                    r.close()
+            except (OSError, struct.error):
+                pass  # corrupt/truncated cache: recompute
         elif cache_path:
-            self._writer = FlowCacheWriter(cache_path, width, height)
+            try:
+                self._writer = FlowCacheWriter(cache_path, width, height)
+            except OSError:
+                self._writer = None  # unwritable location: just recompute
 
     def compute(self, frame_bgr_u8: np.ndarray,
                 frame_index: int) -> np.ndarray | None:

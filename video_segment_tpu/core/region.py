@@ -32,7 +32,6 @@ import numpy as np
 from video_segment_tpu.core import agglomeration
 from video_segment_tpu.core.dense import HierarchyLevelData, SegFrame
 from video_segment_tpu.core.options import RegionSegmentationOptions
-from video_segment_tpu.ops import color as color_ops
 from video_segment_tpu.ops import histograms as hops
 from video_segment_tpu.segment_util import util
 
@@ -56,8 +55,8 @@ class _ChunkData:
     start_frames: np.ndarray
     end_frames: np.ndarray
     neighbor_pairs: np.ndarray
-    hist: np.ndarray | None = None       # (Rc, B) float16 host cache
-    flow_hist: np.ndarray | None = None  # (Tc, Rc, FB) float16
+    hist: np.ndarray | None = None       # (Rc, B) float32 host cache
+    flow_hist: np.ndarray | None = None  # (Tc, Rc, FB) float32
     flow_cnt: np.ndarray | None = None   # (Tc, Rc) float32
 
 
@@ -79,20 +78,28 @@ class RegionSegmentation:
 
     def add_frame(self, frame_index: int, frame_bgr_u8: np.ndarray,
                   flow: np.ndarray | None = None):
-        """Register appearance (+flow) features for a video frame."""
-        lab = color_ops.bgr_to_lab(
-            jnp.asarray(frame_bgr_u8, jnp.float32) / 255.0)
-        bins = hops.lab_bins(lab, self.options.luminance_bins,
-                             self.options.color_bins)
+        """Register appearance (+flow) features for a video frame.
+
+        Computed host-side with cv2/NumPy: per-frame device round-trips cost
+        more in dispatch latency than this arithmetic."""
+        import cv2
+
+        lab = cv2.cvtColor(frame_bgr_u8, cv2.COLOR_BGR2Lab)
+        lb, cb = self.options.luminance_bins, self.options.color_bins
+        bins = (((lab[..., 0].astype(np.int32) * lb) >> 8) * cb
+                + ((lab[..., 1].astype(np.int32) * cb) >> 8)) * cb \
+            + ((lab[..., 2].astype(np.int32) * cb) >> 8)
         fb = fm = None
         if flow is not None:
             self._has_flow = True
-            b, m = hops.flow_bins(jnp.asarray(flow, jnp.float32),
-                                  self.options.flow_bins)
-            fb = np.asarray(b, np.int8)
-            fm = np.asarray(m, np.float16)
+            flow = np.asarray(flow, np.float32)
+            ang = (np.arctan2(flow[..., 1], flow[..., 0])
+                   / (2.0 * np.pi + 1e-4) + 0.5)
+            fb = np.clip((ang * self.options.flow_bins).astype(np.int32),
+                         0, self.options.flow_bins - 1).astype(np.int8)
+            fm = np.hypot(flow[..., 0], flow[..., 1]).astype(np.float16)
         self._features[frame_index] = _FrameFeatures(
-            np.asarray(bins, np.int16), fb, fm)
+            bins.astype(np.int16), fb, fm)
 
     # -- dense results ingestion -----------------------------------------
 
@@ -156,7 +163,7 @@ class RegionSegmentation:
             jnp.zeros((rcap, self.num_color_bins), jnp.float32),
             jnp.asarray(labels), jnp.asarray(lab_bins.astype(np.int32)),
             None, rcap, self.num_color_bins)
-        chunk.hist = np.asarray(hist[:rc], np.float16)
+        chunk.hist = np.asarray(hist[:rc], np.float32)
 
         if use_flow:
             tkey = (np.arange(tpad, dtype=np.int32)[:, None, None]
@@ -171,7 +178,7 @@ class RegionSegmentation:
                 jnp.asarray(tkey), jnp.zeros((tpad, h, w), jnp.int32),
                 None, tpad * rcap, 1)
             chunk.flow_hist = np.asarray(
-                fh.reshape(tpad, rcap, -1)[:tc, :rc], np.float16)
+                fh.reshape(tpad, rcap, -1)[:tc, :rc], np.float32)
             chunk.flow_cnt = np.asarray(
                 fc.reshape(tpad, rcap)[:tc, :rc], np.float32)
 

@@ -119,7 +119,18 @@ def neighbor_pairs(labels: np.ndarray) -> np.ndarray:
 
 
 def compact_labels(labels: np.ndarray):
-    """Map arbitrary int labels to [0,R); returns (compact (T,H,W), roots)."""
+    """Map arbitrary int labels to [0,R); returns (compact (T,H,W), roots).
+
+    Labels from the solver are bounded non-negative voxel indices, so a
+    presence-mask + searchsorted beats np.unique's sort by ~10x."""
+    flat = labels.ravel()
+    lo = int(flat.min())
+    if lo >= 0:
+        present = np.zeros(int(flat.max()) + 1, bool)
+        present[flat] = True
+        roots = np.flatnonzero(present)
+        compact = np.searchsorted(roots, flat).astype(np.int32)
+        return compact.reshape(labels.shape), roots
     roots, inv = np.unique(labels, return_inverse=True)
     return inv.reshape(labels.shape).astype(np.int32), roots
 

@@ -35,10 +35,11 @@ def make_mesh(n_devices: int | None = None, data: int | None = None,
 
 
 def halo_exchange_rows(x: jnp.ndarray, axis_name: str = "space",
-                       halo: int = 1) -> jnp.ndarray:
+                       halo: int = 1, border: str = "edge") -> jnp.ndarray:
     """Pad a row-sharded (..., Hs, W, C) block with `halo` rows from its
-    mesh neighbors (edge-replicated at the outer boundary, matching
-    BORDER_REPLICATE single-chip semantics)."""
+    mesh neighbors.  At the outer mesh boundary the fill matches the
+    downstream filter's border mode: "edge" (BORDER_REPLICATE) or
+    "reflect" (reflect-101), so shard outputs equal single-chip outputs."""
     idx = jax.lax.axis_index(axis_name)
     n = jax.lax.axis_size(axis_name)
     top = x[..., :halo, :, :]
@@ -47,8 +48,14 @@ def halo_exchange_rows(x: jnp.ndarray, axis_name: str = "space",
                                  [(i, (i + 1) % n) for i in range(n)])
     from_next = jax.lax.ppermute(top, axis_name,
                                  [(i, (i - 1) % n) for i in range(n)])
-    from_prev = jnp.where(idx == 0, top, from_prev)
-    from_next = jnp.where(idx == n - 1, bot, from_next)
+    if border == "reflect":
+        top_fill = jnp.flip(x[..., 1:halo + 1, :, :], axis=-3)
+        bot_fill = jnp.flip(x[..., -halo - 1:-1, :, :], axis=-3)
+    else:  # edge: the border row repeated, as BORDER_REPLICATE does
+        top_fill = jnp.repeat(x[..., :1, :, :], halo, axis=-3)
+        bot_fill = jnp.repeat(x[..., -1:, :, :], halo, axis=-3)
+    from_prev = jnp.where(idx == 0, top_fill, from_prev)
+    from_next = jnp.where(idx == n - 1, bot_fill, from_next)
     return jnp.concatenate([from_prev, x, from_next], axis=-3)
 
 
@@ -60,8 +67,10 @@ def sharded_presmooth(mesh: Mesh, mode: str = "bilateral", halo: int = 4):
     single-chip filter exactly away from numerical noise."""
     from video_segment_tpu.ops import filters
 
+    border = "reflect" if mode == "gaussian" else "edge"
+
     def shard_fn(block):  # (Bs, T, Hs, W, 3)
-        padded = halo_exchange_rows(block, "space", halo)
+        padded = halo_exchange_rows(block, "space", halo, border)
 
         def one(img):
             out = filters.presmooth(img, mode)
