@@ -178,11 +178,19 @@ class DenseSegmentation:
             init_label = jnp.asarray(init_np)
             frozen = jnp.asarray(frozen_np)
 
+        import os
+        import time
+        t_solve0 = time.monotonic()
         res = ov.oversegment(vol, flow=flow, constraints=constraints,
                              init_label=init_label, frozen=frozen,
                              params=self._params)
         labels = np.asarray(res.label)[:t]
         constr_all = np.asarray(res.constr)
+        if os.environ.get("VST_TIMING"):
+            import sys
+            print(f"[timing] chunk {self._chunk_id} solve "
+                  f"({'constrained' if constraints is not None else 'free'})"
+                  f" {time.monotonic() - t_solve0:.2f}s", file=sys.stderr)
 
         if self.options.enforce_n4_connectivity:
             labels = np.stack([rle.enforce_n4_connectivity(f) for f in labels])
