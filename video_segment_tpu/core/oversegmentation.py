@@ -207,7 +207,10 @@ def _iter_dirs(feats, label3, flow, metric, spatial_dirs,
 
     # Flow-displaced backward edges: voxel (t,y,x), t>=1, anchors at
     # clamp(trunc((y,x)+flow[t-1])) in frame t-1 (C truncation toward zero,
-    # validity tested on anchor coords — GetLocalEdges).
+    # validity tested on anchor coords — GetLocalEdges).  All nine offsets
+    # share one index array (anchor + constant), so the nine neighborhoods
+    # resolve through a single stacked gather — the compiled program stays
+    # small and the gather engine sees one large batch.
     px = jnp.clip((xs[None] + flow[..., 0]).astype(jnp.int32), 0, w - 1)
     py = jnp.clip((ys[None] + flow[..., 1]).astype(jnp.int32), 0, h - 1)
     prev_f = feats[:-1].reshape(t - 1, n, _NUM_F)
@@ -217,21 +220,32 @@ def _iter_dirs(feats, label3, flow, metric, spatial_dirs,
         widths = [(1, 0)] + [(0, 0)] * (x.ndim - 1)
         return jnp.pad(x, widths, constant_values=fill)
 
-    for dy, dx in TEMPORAL_DIRS:
+    anchor = py * w + px                              # (T-1,H,W)
+    offs = jnp.asarray([dy * w + dx for dy, dx in TEMPORAL_DIRS],
+                       jnp.int32)
+    flat_all = jnp.clip(anchor[None] + offs[:, None, None, None],
+                        0, n - 1)                     # (9,T-1,H,W)
+    idx = jnp.transpose(flat_all.reshape(9, t - 1, n),
+                        (1, 0, 2)).reshape(t - 1, 9 * n)
+    fn_all = jnp.take_along_axis(prev_f, idx[:, :, None], axis=1)
+    fn_all = jnp.transpose(fn_all.reshape(t - 1, 9, n, _NUM_F),
+                           (1, 0, 2, 3)).reshape(9, t - 1, h, w, _NUM_F)
+    labn_all = jnp.take_along_axis(prev_l, idx, axis=1)
+    labn_all = jnp.transpose(labn_all.reshape(t - 1, 9, n),
+                             (1, 0, 2)).reshape(9, t - 1, h, w)
+
+    for k, (dy, dx) in enumerate(TEMPORAL_DIRS):
         ny = py + dy
         nx = px + dx
         valid2 = (ny >= 0) & (ny < h) & (nx >= 0) & (nx < w)
-        flat = jnp.clip(ny, 0, h - 1) * w + jnp.clip(nx, 0, w - 1)
-        fn = jnp.take_along_axis(prev_f, flat.reshape(t - 1, n, 1),
-                                 axis=1).reshape(t - 1, h, w, _NUM_F)
-        labn = jnp.take_along_axis(prev_l, flat.reshape(t - 1, n),
-                                   axis=1).reshape(t - 1, h, w)
+        fn = fn_all[k]
+        labn = labn_all[k]
         bucket = _bucketize(_dist(feats[1:, ..., _C_VOL], fn[..., _C_VOL],
                                   metric))
         yield _Dir(valid=pad_first(valid2, False),
                    bucket=pad_first(bucket),
-                   **{k: pad_first(v, -1 if k == "nb_constr" else 0)
-                      for k, v in _unpack(fn, labn).items()})
+                   **{k2: pad_first(v, -1 if k2 == "nb_constr" else 0)
+                      for k2, v in _unpack(fn, labn).items()})
 
 
 def _desc_distance(own_mean, nb_mean, bucket, p: OversegParams):
