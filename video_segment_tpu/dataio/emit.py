@@ -69,12 +69,17 @@ def hierarchy_to_proto(levels) -> list:
 
 
 def segframe_to_bytes(sf, vectorize: bool = False,
-                      remove_rasterization: bool = False) -> bytes:
+                      remove_rasterization: bool = False,
+                      output_dims: tuple | None = None) -> bytes:
     """Serialize a core.dense.SegFrame to SegmentationDesc wire bytes.
 
     With `vectorize`, region boundary polygons are computed and attached
     (and rasterizations optionally stripped, the reference's
-    --write_to_file output shape, seg_tree.cpp:302-312)."""
+    --write_to_file output shape, seg_tree.cpp:302-312).  `output_dims`
+    (width, height) upscales the vector mesh and the emitted frame
+    dimensions when segmentation ran on a downscaled video — requires
+    remove_rasterization (the reference writer unit's upscale path,
+    segmentation_unit.cpp:373-411)."""
     hierarchy = hierarchy_to_proto(sf.hierarchy) if sf.hierarchy else None
     payload = fast_proto.encode_frame(
         sf.region_ids, sf.interval_counts, sf.ys, sf.lxs, sf.rxs,
@@ -95,5 +100,16 @@ def segframe_to_bytes(sf, vectorize: bool = False,
         lab, sf.region_ids, sf.interval_counts, sf.ys, sf.lxs, sf.rxs)
     desc = proto.SegmentationDesc()
     desc.ParseFromString(payload)
-    boundary.vectorization_to_proto(desc, mesh, polys, remove_rasterization)
+    if output_dims and (output_dims != (sf.frame_width, sf.frame_height)):
+        if not remove_rasterization:
+            raise ValueError("upscaled output requires remove_rasterization")
+        ow, oh = output_dims
+        boundary.vectorization_to_proto(desc, mesh, polys, True)
+        boundary.scale_vectorization(desc, ow / sf.frame_width,
+                                     oh / sf.frame_height)
+        desc.frame_width = ow
+        desc.frame_height = oh
+    else:
+        boundary.vectorization_to_proto(desc, mesh, polys,
+                                        remove_rasterization)
     return desc.SerializeToString()

@@ -111,6 +111,15 @@ def main(argv=None):
                                        info.fps)))
 
     vectorize = args.write_to_file and not args.over_segment
+    # When segmenting a downscaled video, the written stream carries the
+    # original resolution through scaled vectorization (writer-unit upscale
+    # path); rasterizations are stripped in that case.
+    upscale_dims = None
+    strip_raster = False
+    if vectorize and (info.width, info.height) != (info.orig_width,
+                                                   info.orig_height):
+        upscale_dims = (info.orig_width, info.orig_height)
+        strip_raster = True
 
     display = None
     if args.display >= 0:
@@ -131,7 +140,9 @@ def main(argv=None):
             current_hierarchy[0] = emit_mod.hierarchy_to_proto(sf.hierarchy)
         if writer is not None:
             writer.add_to_chunk(
-                emit.segframe_to_bytes(sf, vectorize=vectorize),
+                emit.segframe_to_bytes(sf, vectorize=vectorize,
+                                       remove_rasterization=strip_raster,
+                                       output_dims=upscale_dims),
                 pts=reader.pts_of(sf.frame_index))
             if sf.hierarchy is not None and n_out > 0:
                 writer.write_chunk()
