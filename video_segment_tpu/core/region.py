@@ -40,6 +40,35 @@ def _next_pow2(x: int) -> int:
     return 1 << max(4, (x - 1).bit_length())
 
 
+import functools
+
+import jax
+
+
+@functools.partial(jax.jit, static_argnames=("rcap", "color_bins",
+                                             "flow_bins", "use_flow"))
+def _accumulate_all(labels, lab_bins, fbin, fmag, rcap: int, color_bins: int,
+                    flow_bins: int, use_flow: bool):
+    """One fused device call per chunk: color histogram + per-frame flow
+    histograms + per-frame vector counts (one upload, one dispatch)."""
+    tpad = labels.shape[0]
+    lflat = labels.reshape(-1)
+    hist = jnp.zeros(rcap * color_bins, jnp.float32).at[
+        lflat * color_bins + lab_bins.reshape(-1).astype(jnp.int32)
+    ].add(1.0).reshape(rcap, color_bins)
+    if not use_flow:
+        z = jnp.zeros((0, rcap, flow_bins), jnp.float32)
+        return hist, z, jnp.zeros((0, rcap), jnp.float32)
+    tkey = (jnp.arange(tpad, dtype=jnp.int32)[:, None, None] * rcap
+            + labels).reshape(-1)
+    fh = jnp.zeros(tpad * rcap * flow_bins, jnp.float32).at[
+        tkey * flow_bins + fbin.reshape(-1).astype(jnp.int32)
+    ].add(fmag.reshape(-1).astype(jnp.float32))
+    fc = jnp.zeros(tpad * rcap, jnp.float32).at[tkey].add(1.0)
+    return (hist, fh.reshape(tpad, rcap, flow_bins),
+            fc.reshape(tpad, rcap))
+
+
 @dataclasses.dataclass
 class _FrameFeatures:
     lab_bins: np.ndarray          # (H,W) int16
@@ -159,28 +188,16 @@ class RegionSegmentation:
                 fbin[i] = feat.flow_bin
                 fmag[i] = feat.flow_mag
 
-        hist = hops.accumulate_histogram(
-            jnp.zeros((rcap, self.num_color_bins), jnp.float32),
-            jnp.asarray(labels), jnp.asarray(lab_bins.astype(np.int32)),
-            None, rcap, self.num_color_bins)
+        hist, fh, fc = _accumulate_all(
+            jnp.asarray(labels), jnp.asarray(lab_bins),
+            jnp.asarray(fbin) if use_flow else jnp.zeros((1, 1, 1), jnp.int8),
+            jnp.asarray(fmag) if use_flow else
+            jnp.zeros((1, 1, 1), jnp.float16),
+            rcap, self.num_color_bins, self.options.flow_bins, use_flow)
         chunk.hist = np.asarray(hist[:rc], np.float32)
-
         if use_flow:
-            tkey = (np.arange(tpad, dtype=np.int32)[:, None, None]
-                    * rcap + labels)
-            fh = hops.accumulate_histogram(
-                jnp.zeros((tpad * rcap, self.options.flow_bins), jnp.float32),
-                jnp.asarray(tkey), jnp.asarray(fbin.astype(np.int32)),
-                jnp.asarray(fmag.astype(np.float32)),
-                tpad * rcap, self.options.flow_bins)
-            fc = hops.accumulate_histogram(
-                jnp.zeros((tpad * rcap, 1), jnp.float32),
-                jnp.asarray(tkey), jnp.zeros((tpad, h, w), jnp.int32),
-                None, tpad * rcap, 1)
-            chunk.flow_hist = np.asarray(
-                fh.reshape(tpad, rcap, -1)[:tc, :rc], np.float32)
-            chunk.flow_cnt = np.asarray(
-                fc.reshape(tpad, rcap)[:tc, :rc], np.float32)
+            chunk.flow_hist = np.asarray(fh[:tc, :rc], np.float32)
+            chunk.flow_cnt = np.asarray(fc[:tc, :rc], np.float32)
 
         # Features for these frames are no longer needed.
         for sf in chunk.frames:
