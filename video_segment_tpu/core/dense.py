@@ -136,10 +136,12 @@ class DenseSegmentation:
     def _segment_chunk(self, flush: bool) -> list[SegFrame]:
         t = len(self._buffer)
         h, w = self.frame_height, self.frame_width
-        # Pad every solve to one canonical temporal extent (chunk_size + 1
-        # planes) by repeating the last frame, so the solver compiles once
-        # per resolution instead of once per distinct buffer length.
-        t_solve = self.options.chunk_size + 1
+        # Pad every solve to a canonical temporal extent by repeating the
+        # last frame, so the solver compiles for two shapes per resolution
+        # (full chunks, and a small shape so flush tails don't pay the full
+        # chunk price on mostly-padding volumes).
+        t_small = min(5, self.options.chunk_size + 1)
+        t_solve = t_small if t <= t_small else self.options.chunk_size + 1
         pad = t_solve - t
         vol = jnp.stack(self._buffer + [self._buffer[-1]] * pad)
 
