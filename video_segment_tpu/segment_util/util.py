@@ -87,6 +87,10 @@ def replace_rasterization_from_vectorization(desc) -> None:
 
     coords = np.asarray(desc.vector_mesh.coord, np.float32)
     h, w = desc.frame_height, desc.frame_width
+    # Paint every region into one label image first: per-region contours
+    # (especially after upscaling) can leave hairline cracks between
+    # neighbors, which are filled from the nearest region below.
+    lab = np.full((h, w), -1, np.int64)
     for r in desc.region:
         mask = np.zeros((h, w), np.uint8)
         outers = []
@@ -100,8 +104,21 @@ def replace_rasterization_from_vectorization(desc) -> None:
             cv2.fillPoly(mask, outers, 1)
         if holes:
             cv2.fillPoly(mask, holes, 0)
+        lab[mask > 0] = r.id
+
+    # Fill cracks by iterative N4 adoption.
+    for _ in range(8):
+        un = lab < 0
+        if not un.any():
+            break
+        for shifted in (np.roll(lab, 1, 0), np.roll(lab, -1, 0),
+                        np.roll(lab, 1, 1), np.roll(lab, -1, 1)):
+            take = un & (lab < 0) & (shifted >= 0)
+            lab[take] = shifted[take]
+
+    for r in desc.region:
         r.ClearField("raster")
-        ys, xs = np.nonzero(mask)
+        ys, xs = np.nonzero(lab == r.id)
         if len(ys) == 0:
             r.raster.SetInParent()
             continue

@@ -102,7 +102,13 @@ def main(argv=None):
     # over-segmentation only).
     render_writers = []
     if args.render_and_save:
-        base = os.path.splitext(args.input_file)[0]
+        # Renders go next to the .pb output (or cwd), never next to a
+        # possibly read-only input.
+        base_dir = (os.path.dirname(os.path.abspath(args.output_file))
+                    if args.output_file else os.getcwd())
+        base = os.path.join(
+            base_dir,
+            os.path.splitext(os.path.basename(args.input_file))[0])
         levels = [0.0] if args.over_segment else [0.1, 0.4, 0.75]
         for lv in levels:
             path = f"{base}_render_{int(lv * 100):02d}.mp4"
