@@ -153,6 +153,17 @@ class DenseSegmentation:
             zero = np.zeros_like(tail[0])
             flow = jnp.asarray(np.stack(tail + [zero] * pad))
 
+        # Pallas tile pre-segmentation: collapse force-merge-similar pixels
+        # into tile-local regions before the global solver (VMEM-resident
+        # flooding; the merges are ones the reference performs
+        # unconditionally, pixel_distance.h:487-491).
+        tile_init = None
+        if self.options.tile_presegment:
+            from video_segment_tpu.ops import tile_preseg
+            tile_init = tile_preseg.tile_presegment(
+                vol, self._params.force_merge_weight,
+                self.options.color_distance)
+
         constraints = init_label = frozen = None
         cid_to_gid = np.zeros(0, np.int64)
         if self._overlap_gids:
@@ -179,6 +190,14 @@ class DenseSegmentation:
             constraints = jnp.asarray(constraints_np)
             init_label = jnp.asarray(init_np)
             frozen = jnp.asarray(frozen_np)
+            if tile_init is not None:
+                # Free planes take tile-local pre-merges; constrained planes
+                # keep the constraint pre-merge.
+                plane = jnp.arange(t_solve)[:, None, None]
+                init_label = jnp.where(plane < n_constrained, init_label,
+                                       tile_init)
+        elif tile_init is not None:
+            init_label = tile_init
 
         import os
         import time

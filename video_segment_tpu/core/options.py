@@ -23,6 +23,11 @@ class DenseSegmentationOptions:
     enforce_spatial_connectedness: bool = True
     color_distance: str = "l2"               # l1 | l2
     compute_vectorization: bool = False
+    # Pallas VMEM tile pre-segmentation before the global solver.
+    # Experimental groundwork for the tiled solver: measured neutral-to-
+    # negative today (the global solver's round cost is O(pixels) regardless
+    # of the initial region count), so default off.
+    tile_presegment: bool = False
 
     def overlap_frames(self) -> int:
         # The reference clamps to at most 2 and requires at least 2 to seed
