@@ -102,6 +102,8 @@ class RegionSegmentation:
         self._open_frames: list = []      # SegFrames of the not-yet-closed chunk
         self._set_id = 0
         self._has_flow = False
+        # Per-level (gids, ids) of the previous set's overlap chunks.
+        self._prev_assign: list = []
 
     # -- per-frame feature ingestion -------------------------------------
 
@@ -269,15 +271,32 @@ class RegionSegmentation:
         if not levels_raw:
             levels_raw = [np.arange(rcap, dtype=np.int32)]
 
-        # Per-level ids: minimum member over-segmentation gid.
+        # Per-level ids: minimum member over-segmentation gid, then inherit
+        # the previous set's ids where the carrying region persisted
+        # (the reference achieves this with counterpart constraint exchange,
+        # region_segmentation.cpp:143-197).
         level_ids = []
         for lab in levels_raw:
             ids = np.full(rcap, np.iinfo(np.int64).max, np.int64)
             np.minimum.at(ids, lab[:r], all_gids)
             level_ids.append(ids)
+        level_ids = self._inherit_ids(levels_raw, level_ids, all_gids,
+                                      sizes, r)
 
         hierarchy = self._build_hierarchy(levels_raw, level_ids, r, all_gids,
                                           sizes, start_f, end_f, pairs)
+
+        # Remember the overlap chunks' level assignments for the next set.
+        keep = 0 if emit_all else opts.chunk_set_overlap
+        if keep:
+            ov_gids = np.unique(np.concatenate(
+                [c.gids for c in chunks[-keep:]]))
+            pos = np.searchsorted(all_gids, ov_gids)
+            self._prev_assign = [
+                (ov_gids, level_ids[l][levels_raw[l][pos]])
+                for l in range(len(levels_raw))]
+        else:
+            self._prev_assign = []
 
         # Emit frames of the output window.
         n_emit_chunks = (len(chunks) if emit_all
@@ -308,6 +327,61 @@ class RegionSegmentation:
                 frame_index=sf.frame_index))
         self._set_id += 1
         return results
+
+    def _inherit_ids(self, levels_raw, level_ids, all_gids, sizes, r):
+        """Carry hierarchy ids across chunk sets.
+
+        A group inherits a previous-set id X only when the over-segmentation
+        region with gid X is one of its members — since members are disjoint,
+        inherited ids can never collide with each other or with another
+        group's min-gid id (min-gids are members of their own groups).
+        Among multiple candidates the group keeps the one with the largest
+        carried size."""
+        if not getattr(self, "_prev_assign", None):
+            return level_ids
+        out = []
+        for l, lab in enumerate(levels_raw):
+            ids = level_ids[l]
+            if l >= len(self._prev_assign):
+                out.append(ids)
+                continue
+            pg, pid = self._prev_assign[l]
+            pos = np.searchsorted(pg, all_gids)
+            pos_c = np.minimum(pos, len(pg) - 1)
+            has = (len(pg) > 0) & (pg[pos_c] == all_gids)
+            mi = np.flatnonzero(has)
+            if not len(mi):
+                out.append(ids)
+                continue
+            roots_m = lab[mi]
+            prev_m = pid[pos_c[mi]]
+            w_m = sizes[mi]
+            # Aggregate vote weight per (root, prev_id).
+            order = np.lexsort((prev_m, roots_m))
+            rk, pk, wk = roots_m[order], prev_m[order], w_m[order]
+            new = np.ones(len(rk), bool)
+            new[1:] = (rk[1:] != rk[:-1]) | (pk[1:] != pk[:-1])
+            starts = np.flatnonzero(new)
+            wsum = np.add.reduceat(wk, starts)
+            g_root, g_prev = rk[starts], pk[starts]
+            # Membership constraint: prev id X must be carried by a region
+            # of this group.
+            xpos = np.searchsorted(all_gids, g_prev)
+            xpos_c = np.minimum(xpos, r - 1)
+            xin = all_gids[xpos_c] == g_prev
+            xok = xin & (lab[xpos_c] == g_root)
+            g_root, g_prev, wsum = g_root[xok], g_prev[xok], wsum[xok]
+            if len(g_root):
+                # Highest-weight candidate per root wins.
+                order2 = np.lexsort((-wsum, g_root))
+                first = np.ones(len(order2), bool)
+                rr = g_root[order2]
+                first[1:] = rr[1:] != rr[:-1]
+                sel = order2[first]
+                ids = ids.copy()
+                ids[g_root[sel]] = g_prev[sel]
+            out.append(ids)
+        return out
 
     def _build_hierarchy(self, levels_raw, level_ids, r, all_gids, sizes,
                          start_f, end_f, pairs):
