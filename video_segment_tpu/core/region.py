@@ -25,24 +25,20 @@ so overlap chunks re-enter the next set without re-reading pixels.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from video_segment_tpu.core import agglomeration
 from video_segment_tpu.core.dense import HierarchyLevelData, SegFrame
 from video_segment_tpu.core.options import RegionSegmentationOptions
-from video_segment_tpu.ops import histograms as hops
 from video_segment_tpu.segment_util import util
 
 
 def _next_pow2(x: int) -> int:
     return 1 << max(4, (x - 1).bit_length())
-
-
-import functools
-
-import jax
 
 
 @functools.partial(jax.jit, static_argnames=("rcap", "color_bins",

@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from video_segment_tpu.dataio import fast_proto
 from video_segment_tpu.segment_util import util
 
 

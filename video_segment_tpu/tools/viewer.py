@@ -24,7 +24,7 @@ def main(argv=None):
 
     from video_segment_tpu import proto
     from video_segment_tpu.dataio import seg_io
-    from video_segment_tpu.segment_util import render, util
+    from video_segment_tpu.segment_util import render
 
     reader = seg_io.SegmentationReader(args.input)
     if not reader.open_and_read_headers():
