@@ -128,6 +128,7 @@ class _Dir(NamedTuple):
     nb_constr: jnp.ndarray
     nb_fin: jnp.ndarray
     nb_frozen: jnp.ndarray
+    temporal: jnp.ndarray = True  # scalar: crosses frames (traced in scans)
 
 
 def _features(state: SolverState, vol):
@@ -156,69 +157,62 @@ def _bucketize(d):
     return jnp.clip((d * NUM_BUCKETS).astype(jnp.int32), 0, NUM_BUCKETS - 1)
 
 
-def _iter_dirs(feats, label3, flow, metric, spatial_dirs,
-               include_temporal_fwd):
-    """Yield _Dir views.  spatial_dirs selects forward-only or all-N8;
-    temporal backward (to t-1, flow-displaced) always included; forward
-    mirror (to t+1, undisplaced) when include_temporal_fwd."""
+def _shift_dir_list(spatial_dirs, flow_absent, include_temporal_fwd):
+    """(D,3) [(dt,dy,dx)] array of shift-expressible directions."""
+    dirs = [(0, dy, dx) for dy, dx in spatial_dirs]
+    if flow_absent:
+        dirs += [(-1, dy, dx) for dy, dx in TEMPORAL_DIRS]
+    if include_temporal_fwd:
+        dirs += [(1, dy, dx) for dy, dx in TEMPORAL_DIRS]
+    return dirs
+
+
+def _fold_dirs(feats, label3, flow, metric, spatial_dirs,
+               include_temporal_fwd, fold_fn, carry):
+    """Fold `fold_fn(carry, _Dir) -> carry` over every incident direction.
+
+    Shift-expressible directions (spatial N8, undisplaced temporal) run in a
+    lax.scan over traced (dt,dy,dx) — ONE compiled body regardless of the
+    direction count, which keeps the program small enough for the remote
+    compiler at large shapes.  Flow-displaced directions share a single
+    stacked gather and a second scan."""
     t, h, w, _ = feats.shape
     n = h * w
-    ys = jnp.arange(h)[:, None]
-    xs = jnp.arange(w)[None, :]
+    ys = jnp.arange(h)[None, :, None]
+    xs = jnp.arange(w)[None, None, :]
+    ts = jnp.arange(t)[:, None, None]
 
-    def roll(x, dt, dy, dx):
-        return jnp.roll(x, (-dt, -dy, -dx), axis=(0, 1, 2))
+    dirs = _shift_dir_list(spatial_dirs, flow is None or t == 1,
+                           include_temporal_fwd and t > 1)
 
-    for dy, dx in spatial_dirs:
-        valid = jnp.broadcast_to(
-            (ys + dy >= 0) & (ys + dy < h) & (xs + dx >= 0) & (xs + dx < w),
-            (t, h, w))
-        fn = roll(feats, 0, dy, dx)
-        labn = roll(label3, 0, dy, dx)
+    def shift_body(c, d3):
+        dt, dy, dx = d3[0], d3[1], d3[2]
+        fn = jnp.roll(feats, (-dt, -dy, -dx), axis=(0, 1, 2))
+        labn = jnp.roll(label3, (-dt, -dy, -dx), axis=(0, 1, 2))
+        valid = ((ts + dt >= 0) & (ts + dt < t)
+                 & (ys + dy >= 0) & (ys + dy < h)
+                 & (xs + dx >= 0) & (xs + dx < w))
         bucket = _bucketize(_dist(feats[..., _C_VOL], fn[..., _C_VOL],
                                   metric))
-        yield _Dir(valid=valid, bucket=bucket, **_unpack(fn, labn))
+        d = _Dir(valid=valid, bucket=bucket, temporal=dt != 0,
+                 **_unpack(fn, labn))
+        return fold_fn(c, d), None
 
-    if t == 1:
-        return
+    carry, _ = jax.lax.scan(shift_body, carry,
+                            jnp.asarray(dirs, jnp.int32))
 
-    temporal_sets = []
-    if flow is None:
-        temporal_sets.append(-1)        # backward view (the edge's owner)
-    if include_temporal_fwd:
-        temporal_sets.append(1)         # forward mirror view
-
-    # Undisplaced temporal dirs.
-    for toff in temporal_sets:
-        tvalid = ((jnp.arange(t) + toff >= 0)
-                  & (jnp.arange(t) + toff < t))[:, None, None]
-        for dy, dx in TEMPORAL_DIRS:
-            valid = jnp.broadcast_to(
-                tvalid & (ys + dy >= 0) & (ys + dy < h)
-                & (xs + dx >= 0) & (xs + dx < w), (t, h, w))
-            fn = roll(feats, toff, dy, dx)
-            labn = roll(label3, toff, dy, dx)
-            bucket = _bucketize(_dist(feats[..., _C_VOL], fn[..., _C_VOL],
-                                      metric))
-            yield _Dir(valid=valid, bucket=bucket, **_unpack(fn, labn))
-
-    if flow is None:
-        return
+    if flow is None or t == 1:
+        return carry
 
     # Flow-displaced backward edges: voxel (t,y,x), t>=1, anchors at
     # clamp(trunc((y,x)+flow[t-1])) in frame t-1 (C truncation toward zero,
     # validity tested on anchor coords — GetLocalEdges).  All nine offsets
     # share one index array (anchor + constant), so the nine neighborhoods
-    # resolve through a single stacked gather — the compiled program stays
-    # small and the gather engine sees one large batch.
-    px = jnp.clip((xs[None] + flow[..., 0]).astype(jnp.int32), 0, w - 1)
-    py = jnp.clip((ys[None] + flow[..., 1]).astype(jnp.int32), 0, h - 1)
+    # resolve through a single stacked gather.
+    px = jnp.clip((xs + flow[..., 0]).astype(jnp.int32), 0, w - 1)
+    py = jnp.clip((ys + flow[..., 1]).astype(jnp.int32), 0, h - 1)
     prev_f = feats[:-1].reshape(t - 1, n, _NUM_F)
     prev_l = label3[:-1].reshape(t - 1, n)
-
-    def pad_first(x, fill=0):
-        widths = [(1, 0)] + [(0, 0)] * (x.ndim - 1)
-        return jnp.pad(x, widths, constant_values=fill)
 
     anchor = py * w + px                              # (T-1,H,W)
     offs = jnp.asarray([dy * w + dx for dy, dx in TEMPORAL_DIRS],
@@ -233,19 +227,27 @@ def _iter_dirs(feats, label3, flow, metric, spatial_dirs,
     labn_all = jnp.take_along_axis(prev_l, idx, axis=1)
     labn_all = jnp.transpose(labn_all.reshape(t - 1, 9, n),
                              (1, 0, 2)).reshape(9, t - 1, h, w)
+    dyx = jnp.asarray(TEMPORAL_DIRS, jnp.int32)       # (9,2)
 
-    for k, (dy, dx) in enumerate(TEMPORAL_DIRS):
-        ny = py + dy
-        nx = px + dx
+    def pad_first(x, fill=0):
+        widths = [(1, 0)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, widths, constant_values=fill)
+
+    def flow_body(c, xs_scan):
+        fn, labn, d2 = xs_scan
+        ny = py + d2[0]
+        nx = px + d2[1]
         valid2 = (ny >= 0) & (ny < h) & (nx >= 0) & (nx < w)
-        fn = fn_all[k]
-        labn = labn_all[k]
         bucket = _bucketize(_dist(feats[1:, ..., _C_VOL], fn[..., _C_VOL],
                                   metric))
-        yield _Dir(valid=pad_first(valid2, False),
-                   bucket=pad_first(bucket),
-                   **{k2: pad_first(v, -1 if k2 == "nb_constr" else 0)
-                      for k2, v in _unpack(fn, labn).items()})
+        d = _Dir(valid=pad_first(valid2, False),
+                 bucket=pad_first(bucket), temporal=jnp.bool_(True),
+                 **{k2: pad_first(v, -1 if k2 == "nb_constr" else 0)
+                    for k2, v in _unpack(fn, labn).items()})
+        return fold_fn(c, d), None
+
+    carry, _ = jax.lax.scan(flow_body, carry, (fn_all, labn_all, dyx))
+    return carry
 
 
 def _desc_distance(own_mean, nb_mean, bucket, p: OversegParams):
@@ -315,14 +317,11 @@ def _round(state: SolverState, vol, flow, theta, up, mode, n, sink,
     own_small = own_size < p.min_region_size
     own_live = label3 != sink
 
-    best_bucket = jnp.full((t, h, w), _I32MAX, jnp.int32)
-    best_partner = jnp.full((t, h, w), _I32MAX, jnp.int32)
-    for k, d in enumerate(
-            _iter_dirs(feats, label3, flow, p.metric, SPATIAL_FWD, False)):
+    def fold(carry, d):
+        best_bucket, best_partner = carry
         act = (d.valid & (d.nb_label != label3) & own_live
-               & (d.nb_label != sink))
-        if k >= len(SPATIAL_FWD):  # temporal direction
-            act = act & use_temporal
+               & (d.nb_label != sink)
+               & (jnp.logical_not(d.temporal) | use_temporal))
         dd = _desc_distance(own_mean, d.nb_mean, d.bucket, p)
         either_free = (own_constr < 0) | (d.nb_constr < 0)
         regular = (either_free & ~own_fin & ~d.nb_fin
@@ -336,8 +335,13 @@ def _round(state: SolverState, vol, flow, theta, up, mode, n, sink,
         bkt = jnp.where(adm, d.bucket, _I32MAX)
         take = adm & ((bkt < best_bucket)
                       | ((bkt == best_bucket) & (d.nb_label < best_partner)))
-        best_bucket = jnp.where(take, bkt, best_bucket)
-        best_partner = jnp.where(take, d.nb_label, best_partner)
+        return (jnp.where(take, bkt, best_bucket),
+                jnp.where(take, d.nb_label, best_partner))
+
+    init = (jnp.full((t, h, w), _I32MAX, jnp.int32),
+            jnp.full((t, h, w), _I32MAX, jnp.int32))
+    best_bucket, best_partner = _fold_dirs(
+        feats, label3, flow, p.metric, SPATIAL_FWD, False, fold, init)
 
     partner = _select_partners(best_bucket.reshape(-1),
                                best_partner.reshape(-1), state.label, n)
@@ -357,25 +361,25 @@ def _level_end(state: SolverState, vol, flow, theta, n, p: OversegParams,
     own_fin = feats[..., _C_FIN] > 0
     own_frozen = feats[..., _C_FROZEN] > 0
 
-    fail_any = jnp.zeros((t, h, w), bool)
-    uncon_any = jnp.zeros((t, h, w), bool)
-    for k, d in enumerate(
-            _iter_dirs(feats, label3, flow, p.metric, SPATIAL_ALL, True)):
-        act = d.valid & (d.nb_label != label3) & (d.bucket <= theta)
-        if k >= len(SPATIAL_ALL):  # temporal direction
-            act = act & use_temporal
+    def fold(carry, d):
+        fail_any, uncon_any = carry
+        act = (d.valid & (d.nb_label != label3) & (d.bucket <= theta)
+               & (jnp.logical_not(d.temporal) | use_temporal))
         dd = _desc_distance(own_mean, d.nb_mean, d.bucket, p)
         either_free = (own_constr < 0) | (d.nb_constr < 0)
         fail = (act & either_free & ~own_fin & ~d.nb_fin
                 & (dd >= p.merge_threshold))
-        fail_any = fail_any | fail
         split = (act & ~either_free & (own_constr == d.nb_constr)
                  & (dd > p.split_threshold))
         # Unconstrain own side unless the neighbor is much smaller (the
         # neighbor then unconstrains itself from its own view).  Frozen
         # regions are never unconstrained.
         uncon = split & ~(d.nb_size < 0.3 * own_size) & ~own_frozen
-        uncon_any = uncon_any | uncon
+        return fail_any | fail, uncon_any | uncon
+
+    init = (jnp.zeros((t, h, w), bool), jnp.zeros((t, h, w), bool))
+    fail_any, uncon_any = _fold_dirs(
+        feats, label3, flow, p.metric, SPATIAL_ALL, True, fold, init)
 
     fail_r = jax.ops.segment_max(fail_any.reshape(-1).astype(jnp.int32),
                                  state.label, num_segments=n) > 0
