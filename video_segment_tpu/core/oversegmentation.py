@@ -185,10 +185,18 @@ def _fold_dirs(feats, label3, flow, metric, spatial_dirs,
     dirs = _shift_dir_list(spatial_dirs, flow is None or t == 1,
                            include_temporal_fwd and t > 1)
 
+    # One-time halo pad; each scanned direction is then a single
+    # dynamic_slice (a traced-shift jnp.roll would lower to a doubling
+    # concatenate per direction — twice the memory and traffic).
+    fpad = jnp.pad(feats, ((1, 1), (1, 1), (1, 1), (0, 0)))
+    lpad = jnp.pad(label3, ((1, 1), (1, 1), (1, 1)))
+
     def shift_body(c, d3):
         dt, dy, dx = d3[0], d3[1], d3[2]
-        fn = jnp.roll(feats, (-dt, -dy, -dx), axis=(0, 1, 2))
-        labn = jnp.roll(label3, (-dt, -dy, -dx), axis=(0, 1, 2))
+        fn = jax.lax.dynamic_slice(
+            fpad, (1 + dt, 1 + dy, 1 + dx, 0), (t, h, w, _NUM_F))
+        labn = jax.lax.dynamic_slice(lpad, (1 + dt, 1 + dy, 1 + dx),
+                                     (t, h, w))
         valid = ((ts + dt >= 0) & (ts + dt < t)
                  & (ys + dy >= 0) & (ys + dy < h)
                  & (xs + dx >= 0) & (xs + dx < w))
