@@ -79,6 +79,15 @@ class DenseSegmentation:
                  solver_params: ov.OversegParams | None = None):
         if options.chunk_size < 3:
             raise ValueError("chunk_size needs to be at least 3 frames")
+        options = dataclasses.replace(options)
+        max_chunk = options.max_solve_voxels // max(frame_width
+                                                    * frame_height, 1) - 1
+        if options.chunk_size > max(3, max_chunk):
+            import sys
+            print(f"[dense] chunk_size {options.chunk_size} -> "
+                  f"{max(3, max_chunk)} to respect max_solve_voxels at "
+                  f"{frame_width}x{frame_height}", file=sys.stderr)
+            options.chunk_size = max(3, max_chunk)
         self.options = options
         self.frame_width = frame_width
         self.frame_height = frame_height

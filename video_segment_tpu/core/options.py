@@ -28,6 +28,10 @@ class DenseSegmentationOptions:
     # negative today (the global solver's round cost is O(pixels) regardless
     # of the initial region count), so default off.
     tile_presegment: bool = False
+    # Upper bound on voxels per solve; at large resolutions the chunk size
+    # shrinks to stay under it (the attached TPU worker crashes near 19M
+    # voxels; smaller chunks trade seam frequency for functioning 720p+).
+    max_solve_voxels: int = 10_000_000
 
     def overlap_frames(self) -> int:
         # The reference clamps to at most 2 and requires at least 2 to seed
