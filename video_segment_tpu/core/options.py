@@ -31,7 +31,7 @@ class DenseSegmentationOptions:
     # Upper bound on voxels per solve; at large resolutions the chunk size
     # shrinks to stay under it (the attached TPU worker crashes near 19M
     # voxels; smaller chunks trade seam frequency for functioning 720p+).
-    max_solve_voxels: int = 10_000_000
+    max_solve_voxels: int = 8_000_000
 
     def overlap_frames(self) -> int:
         # The reference clamps to at most 2 and requires at least 2 to seed
