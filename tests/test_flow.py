@@ -56,3 +56,25 @@ def test_flow_engine_cache_reuse(tmp_path, rng):
     eng2.close()
     np.testing.assert_allclose(cached[1], flows[1], rtol=1e-6)
     np.testing.assert_allclose(cached[2], flows[2], rtol=1e-6)
+
+
+def test_flow_engine_batched_matches_compute(rng):
+    """push/flush micro-batching returns the same flows as per-frame
+    compute, in order, with correct indices."""
+    frames = [(rng.random((32, 40, 3)) * 255).astype(np.uint8)
+              for _ in range(7)]
+    params = flow_mod.TVL1Params(nscales=2, iterations=20, warps=2)
+
+    eng_a = flow_mod.FlowEngine(40, 32, params=params)
+    ref = [eng_a.compute(f, i) for i, f in enumerate(frames)]
+
+    eng_b = flow_mod.FlowEngine(40, 32, params=params, batch=3)
+    got = []
+    for i, f in enumerate(frames):
+        got.extend(eng_b.push(f, i))
+    got.extend(eng_b.flush())
+
+    assert [i for i, _, _ in got] == list(range(7))
+    assert got[0][2] is None
+    for i in range(1, 7):
+        np.testing.assert_allclose(got[i][2], ref[i], atol=1e-4)

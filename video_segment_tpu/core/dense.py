@@ -167,11 +167,15 @@ class DenseSegmentation:
         # flooding; the merges are ones the reference performs
         # unconditionally, pixel_distance.h:487-491).
         tile_init = None
-        if self.options.tile_presegment:
+        if self.options.tile_presegment or self._params.edge_table:
             from video_segment_tpu.ops import tile_preseg
+            # The edge-table solver needs pixels pre-collapsed far enough to
+            # fit its region table; the v1 solver only wants the merges the
+            # reference force-merge shortcut performs unconditionally.
+            thr = (self._params.preseg_threshold if self._params.edge_table
+                   else self._params.force_merge_weight)
             tile_init = tile_preseg.tile_presegment(
-                vol, self._params.force_merge_weight,
-                self.options.color_distance)
+                vol, thr, self.options.color_distance)
 
         constraints = init_label = frozen = None
         cid_to_gid = np.zeros(0, np.int64)

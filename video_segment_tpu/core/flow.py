@@ -163,10 +163,8 @@ def _tvl1_scale(i0, i1, u1, u2, p: TVL1Params):
     return u1, u2
 
 
-@functools.partial(jax.jit, static_argnames=("params",))
-def tvl1_flow(i0: jnp.ndarray, i1: jnp.ndarray,
-              params: TVL1Params = TVL1Params()) -> jnp.ndarray:
-    """Dense flow from i0 to i1 (grayscale float [0,1], (H,W)); (H,W,2)."""
+def _tvl1_flow_impl(i0: jnp.ndarray, i1: jnp.ndarray,
+                    params: TVL1Params) -> jnp.ndarray:
     pyr0 = [i0]
     pyr1 = [i1]
     for _ in range(params.nscales - 1):
@@ -185,6 +183,23 @@ def tvl1_flow(i0: jnp.ndarray, i1: jnp.ndarray,
             u2 = _resize_bilinear(u2, *pyr0[s].shape) * sy
         u1, u2 = _tvl1_scale(pyr0[s], pyr1[s], u1, u2, params)
     return jnp.stack([u1, u2], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def tvl1_flow(i0: jnp.ndarray, i1: jnp.ndarray,
+              params: TVL1Params = TVL1Params()) -> jnp.ndarray:
+    """Dense flow from i0 to i1 (grayscale float [0,1], (H,W)); (H,W,2)."""
+    return _tvl1_flow_impl(i0, i1, params)
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def tvl1_flow_batch(i0s: jnp.ndarray, i1s: jnp.ndarray,
+                    params: TVL1Params = TVL1Params()) -> jnp.ndarray:
+    """Batched flow over B frame pairs ((B,H,W) -> (B,H,W,2)) in ONE device
+    program — amortizes dispatch and lets XLA schedule the pyramid stencil
+    chains across pairs (the reference computes pairs one at a time on its
+    flow thread, flow_reader.cpp:257-363)."""
+    return jax.vmap(lambda a, b: _tvl1_flow_impl(a, b, params))(i0s, i1s)
 
 
 def bgr_to_gray(frame_bgr_u8: np.ndarray) -> np.ndarray:
@@ -235,11 +250,20 @@ class FlowCacheReader:
 
 class FlowEngine:
     """Streaming backward-flow provider with transparent .flow caching
-    (seg_tree.cpp:120-126: reuse <input>.flow when present)."""
+    (seg_tree.cpp:120-126: reuse <input>.flow when present).
+
+    Two usage styles:
+    - `compute(frame, idx)` — synchronous per-frame (one device call each).
+    - `push(frame, idx)` / `flush()` — micro-batched: frames accumulate until
+      `batch` pairs are ready, then ONE vmapped device call computes them all
+      and the completed (idx, frame, flow) triples are returned (in order).
+    """
 
     def __init__(self, width: int, height: int, cache_path: str | None = None,
-                 params: TVL1Params = TVL1Params()):
+                 params: TVL1Params = TVL1Params(), batch: int = 6):
         self.params = params
+        self.batch = max(batch, 1)
+        self._pending: list[tuple[int, np.ndarray, np.ndarray]] = []
         self._prev_gray: np.ndarray | None = None
         self._reader = None
         self._writer = None
@@ -275,6 +299,55 @@ class FlowEngine:
                 self._writer.write(flow)
         self._prev_gray = gray
         return flow
+
+    # -- micro-batched path -------------------------------------------------
+
+    def push(self, frame_bgr_u8: np.ndarray,
+             frame_index: int) -> list[tuple[int, np.ndarray,
+                                             np.ndarray | None]]:
+        """Buffer a frame; return completed (idx, frame, flow) triples."""
+        if self._reader is not None:
+            fl = None if frame_index == 0 else self._reader.read()
+            return [(frame_index, frame_bgr_u8, fl)]
+        self._pending.append((frame_index, frame_bgr_u8,
+                              bgr_to_gray(frame_bgr_u8)))
+        # The first frame of the stream has no backward flow: release it
+        # immediately so downstream chunking is not skewed.
+        out = []
+        if frame_index == 0:
+            idx, frame, gray = self._pending.pop(0)
+            self._prev_gray = gray
+            out.append((idx, frame, None))
+        if len(self._pending) >= self.batch:
+            out.extend(self._drain(pad_to_batch=True))
+        return out
+
+    def flush(self) -> list[tuple[int, np.ndarray, np.ndarray | None]]:
+        """Compute flow for all remaining buffered frames."""
+        return self._drain(pad_to_batch=bool(self._pending))
+
+    def _drain(self, pad_to_batch: bool):
+        if not self._pending:
+            return []
+        grays = [g for _, _, g in self._pending]
+        prevs = ([self._prev_gray] if self._prev_gray is not None
+                 else [grays[0]]) + grays[:-1]
+        n_real = len(grays)
+        # Pad to the canonical batch shape so the device program compiles
+        # once; padded pairs repeat the last pair and are discarded.
+        n_pad = self.batch - n_real if pad_to_batch else 0
+        i1s = np.stack(prevs + [prevs[-1]] * n_pad)
+        i0s = np.stack(grays + [grays[-1]] * n_pad)
+        flows = np.asarray(tvl1_flow_batch(jnp.asarray(i0s), jnp.asarray(i1s),
+                                           self.params))[:n_real]
+        out = []
+        for (idx, frame, gray), fl in zip(self._pending, flows):
+            if self._writer is not None:
+                self._writer.write(fl)
+            out.append((idx, frame, fl))
+        self._prev_gray = grays[-1]
+        self._pending.clear()
+        return out
 
     def close(self):
         if self._reader:

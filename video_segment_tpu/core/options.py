@@ -27,7 +27,10 @@ class DenseSegmentationOptions:
     # Experimental groundwork for the tiled solver: measured neutral-to-
     # negative today (the global solver's round cost is O(pixels) regardless
     # of the initial region count), so default off.
-    tile_presegment: bool = False
+    # VMEM tile pre-segmentation before the solver.  The edge-table solver
+    # REQUIRES it (its region table is sized well below the pixel count);
+    # dense.py forces it on when OversegParams.edge_table is set.
+    tile_presegment: bool = True
     # Upper bound on voxels per solve; at large resolutions the chunk size
     # shrinks to stay under it (the attached TPU worker crashes near 19M
     # voxels; smaller chunks trade seam frequency for functioning 720p+).

@@ -93,6 +93,16 @@ class OversegParams(NamedTuple):
     # Segment spatial edges over the full schedule first, then everything
     # (SegmentGraphSpatially, dense_segmentation_graph.h:406-416).
     two_stage: bool = False
+    # Edge-table solver (v2): compact immediately, extract the region
+    # adjacency once, and run all schedule levels / min-size / constraint
+    # phases on O(regions) tables.  Requires callers to pre-collapse pixels
+    # (tile preseg at `preseg_threshold`) so live regions fit the table.
+    edge_table: bool = True
+    edge_topk: int = 12
+    # Distance below which tile preseg floods pixels together when feeding
+    # the edge-table solver (bucket 10 of 2048; small enough that region
+    # means cannot drift materially from member colors).
+    preseg_threshold: float = 0.005
 
 
 class SolverState(NamedTuple):
@@ -167,16 +177,27 @@ def _shift_dir_list(spatial_dirs, flow_absent, include_temporal_fwd):
     return dirs
 
 
-def _fold_dirs(feats, label3, flow, metric, spatial_dirs,
-               include_temporal_fwd, fold_fn, carry):
-    """Fold `fold_fn(carry, _Dir) -> carry` over every incident direction.
+class _RawDir(NamedTuple):
+    """One direction's raw neighbor view: validity, color bucket, neighbor
+    label, and the full neighbor feature slab (nf channels)."""
+    valid: jnp.ndarray
+    bucket: jnp.ndarray
+    nb_label: jnp.ndarray
+    fn: jnp.ndarray
+    temporal: jnp.ndarray = True
+
+
+def _fold_dirs_raw(feats, label3, flow, metric, spatial_dirs,
+                   include_temporal_fwd, fold_fn, carry):
+    """Fold `fold_fn(carry, _RawDir) -> carry` over every incident direction.
 
     Shift-expressible directions (spatial N8, undisplaced temporal) run in a
     lax.scan over traced (dt,dy,dx) — ONE compiled body regardless of the
     direction count, which keeps the program small enough for the remote
     compiler at large shapes.  Flow-displaced directions share a single
-    stacked gather and a second scan."""
-    t, h, w, _ = feats.shape
+    stacked gather and a second scan.  `feats` may carry any channel count;
+    channels [0:3] must be the color volume (bucket source)."""
+    t, h, w, nf = feats.shape
     n = h * w
     ys = jnp.arange(h)[None, :, None]
     xs = jnp.arange(w)[None, None, :]
@@ -194,7 +215,7 @@ def _fold_dirs(feats, label3, flow, metric, spatial_dirs,
     def shift_body(c, d3):
         dt, dy, dx = d3[0], d3[1], d3[2]
         fn = jax.lax.dynamic_slice(
-            fpad, (1 + dt, 1 + dy, 1 + dx, 0), (t, h, w, _NUM_F))
+            fpad, (1 + dt, 1 + dy, 1 + dx, 0), (t, h, w, nf))
         labn = jax.lax.dynamic_slice(lpad, (1 + dt, 1 + dy, 1 + dx),
                                      (t, h, w))
         valid = ((ts + dt >= 0) & (ts + dt < t)
@@ -202,8 +223,8 @@ def _fold_dirs(feats, label3, flow, metric, spatial_dirs,
                  & (xs + dx >= 0) & (xs + dx < w))
         bucket = _bucketize(_dist(feats[..., _C_VOL], fn[..., _C_VOL],
                                   metric))
-        d = _Dir(valid=valid, bucket=bucket, temporal=dt != 0,
-                 **_unpack(fn, labn))
+        d = _RawDir(valid=valid, bucket=bucket, nb_label=labn, fn=fn,
+                    temporal=dt != 0)
         return fold_fn(c, d), None
 
     carry, _ = jax.lax.scan(shift_body, carry,
@@ -219,7 +240,7 @@ def _fold_dirs(feats, label3, flow, metric, spatial_dirs,
     # resolve through a single stacked gather.
     px = jnp.clip((xs + flow[..., 0]).astype(jnp.int32), 0, w - 1)
     py = jnp.clip((ys + flow[..., 1]).astype(jnp.int32), 0, h - 1)
-    prev_f = feats[:-1].reshape(t - 1, n, _NUM_F)
+    prev_f = feats[:-1].reshape(t - 1, n, nf)
     prev_l = label3[:-1].reshape(t - 1, n)
 
     anchor = py * w + px                              # (T-1,H,W)
@@ -230,8 +251,8 @@ def _fold_dirs(feats, label3, flow, metric, spatial_dirs,
     idx = jnp.transpose(flat_all.reshape(9, t - 1, n),
                         (1, 0, 2)).reshape(t - 1, 9 * n)
     fn_all = jnp.take_along_axis(prev_f, idx[:, :, None], axis=1)
-    fn_all = jnp.transpose(fn_all.reshape(t - 1, 9, n, _NUM_F),
-                           (1, 0, 2, 3)).reshape(9, t - 1, h, w, _NUM_F)
+    fn_all = jnp.transpose(fn_all.reshape(t - 1, 9, n, nf),
+                           (1, 0, 2, 3)).reshape(9, t - 1, h, w, nf)
     labn_all = jnp.take_along_axis(prev_l, idx, axis=1)
     labn_all = jnp.transpose(labn_all.reshape(t - 1, 9, n),
                              (1, 0, 2)).reshape(9, t - 1, h, w)
@@ -248,14 +269,32 @@ def _fold_dirs(feats, label3, flow, metric, spatial_dirs,
         valid2 = (ny >= 0) & (ny < h) & (nx >= 0) & (nx < w)
         bucket = _bucketize(_dist(feats[1:, ..., _C_VOL], fn[..., _C_VOL],
                                   metric))
-        d = _Dir(valid=pad_first(valid2, False),
-                 bucket=pad_first(bucket), temporal=jnp.bool_(True),
-                 **{k2: pad_first(v, -1 if k2 == "nb_constr" else 0)
-                    for k2, v in _unpack(fn, labn).items()})
+        d = _RawDir(valid=pad_first(valid2, False),
+                    bucket=pad_first(bucket),
+                    nb_label=pad_first(labn),
+                    fn=pad_first(fn), temporal=jnp.bool_(True))
         return fold_fn(c, d), None
 
     carry, _ = jax.lax.scan(flow_body, carry, (fn_all, labn_all, dyx))
     return carry
+
+
+def _fold_dirs(feats, label3, flow, metric, spatial_dirs,
+               include_temporal_fwd, fold_fn, carry):
+    """_fold_dirs_raw with the packed-feature channel map decoded into
+    _Dir records (constraint ids re-filled with -1 on flow-pad rows)."""
+
+    def raw_fold(c, rd: _RawDir):
+        fields = _unpack(rd.fn, rd.nb_label)
+        # Flow-scan first-frame padding zero-fills features; a zero constr
+        # channel would read as constraint 0, so force -1 where invalid.
+        fields["nb_constr"] = jnp.where(rd.valid, fields["nb_constr"], -1)
+        d = _Dir(valid=rd.valid, bucket=rd.bucket, temporal=rd.temporal,
+                 **fields)
+        return fold_fn(c, d)
+
+    return _fold_dirs_raw(feats, label3, flow, metric, spatial_dirs,
+                          include_temporal_fwd, raw_fold, carry)
 
 
 def _desc_distance(own_mean, nb_mean, bucket, p: OversegParams):
@@ -398,6 +437,176 @@ def _level_end(state: SolverState, vol, flow, theta, n, p: OversegParams,
         constr=jnp.where(uncon_r, -1, state.constr))
 
 
+# ---------------------------------------------------------------------------
+# Edge-table solver (v2): collapse pixels early with a gated label flood,
+# then extract the region adjacency ONCE and run every remaining phase on
+# O(regions)-sized tables.  Replaces per-round O(pixels) stencil folds with
+# per-round O(regions * K) fused gathers + segment ops (measured: fused
+# gather+segment programs run ~20x faster than the pixel folds on this
+# backend; see BENCH_NOTES round 2).
+
+_PARTNER_BITS = 20
+_PARTNER_MASK = (1 << _PARTNER_BITS) - 1
+
+
+def _extract_edges(memb3, vol, flow, nseg, sink, p):
+    """One-time region-adjacency extraction from pixel space.
+
+    For every stencil direction, aggregates the minimum-bucket pixel edge
+    per (region, direction) from both endpoint views via packed int32
+    segment-mins (bucket in the high bits, partner id in the low
+    _PARTNER_BITS — the same lexicographic (bucket, partner) tie-break the
+    per-round selection uses).  Returns packed (D, nseg) int32, _I32MAX
+    where absent.
+    """
+    t, h, w, _ = vol.shape
+    memb_flat = memb3.reshape(-1)
+    n_dirs = len(SPATIAL_FWD) + (len(TEMPORAL_DIRS) if t > 1 else 0)
+    d_cols = 2 * n_dirs
+
+    def fold(carry, d: _RawDir):
+        tab, k = carry
+        ok = (d.valid & (d.nb_label != memb3)
+              & (memb3 != sink) & (d.nb_label != sink))
+        bkt = jnp.minimum(d.bucket, NUM_BUCKETS - 2)
+        pk_a = jnp.where(ok, (bkt << _PARTNER_BITS) | d.nb_label, _I32MAX)
+        pk_b = jnp.where(ok, (bkt << _PARTNER_BITS) | memb3, _I32MAX)
+        e_a = jax.ops.segment_min(pk_a.reshape(-1), memb_flat,
+                                  num_segments=nseg)
+        e_b = jax.ops.segment_min(pk_b.reshape(-1), d.nb_label.reshape(-1),
+                                  num_segments=nseg)
+        tab = jax.lax.dynamic_update_slice(tab, e_a[None], (2 * k, 0))
+        tab = jax.lax.dynamic_update_slice(tab, e_b[None], (2 * k + 1, 0))
+        return tab, k + 1
+
+    tab = jnp.full((d_cols, nseg), _I32MAX, jnp.int32)
+    tab, _ = _fold_dirs_raw(vol, memb3, flow, p.metric, SPATIAL_FWD, False,
+                            fold, (tab, jnp.int32(0)))
+    return tab
+
+
+def _topk_edges(tab, k):
+    """(D, nseg) packed table -> per-slot K smallest distinct edges.
+
+    Returns (partner (nseg,K) int32 with _I32MAX absent,
+             bucket (nseg,K) int32 with large sentinel absent).
+    Duplicate (bucket, partner) entries collapse (same packed value).
+    """
+    cur = tab.T  # (nseg, D)
+    d = cur.shape[1]
+    k = min(k, d)
+    parts = []
+    bkts = []
+    for _ in range(k):
+        m = jnp.min(cur, axis=1)
+        cur = jnp.where(cur == m[:, None], _I32MAX, cur)
+        valid = m < _I32MAX
+        parts.append(jnp.where(valid, m & _PARTNER_MASK, _I32MAX))
+        bkts.append(jnp.where(valid, m >> _PARTNER_BITS, NUM_BUCKETS))
+    return jnp.stack(parts, axis=1), jnp.stack(bkts, axis=1)
+
+
+def _table_round(ts: SolverState, ptn, pbk, theta, up, mode, nseg, sink,
+                 p: OversegParams):
+    """One Boruvka round over the region edge table.
+
+    ts.label is the current root per slot (fully path-compressed).  Edges
+    stay anchored at their original extraction slot; merged regions see the
+    union of member-slot edges through the segment-min by current root.
+    Admissibility matches `_round` (segmentation_graph.h:383-439).
+    """
+    root = ts.label
+    k = ptn.shape[1]
+    mean = ts.csum / jnp.maximum(ts.size, 1.0)[:, None]
+
+    own = root                                   # (nseg,) current root of slot
+    own_mean = mean[own]
+    own_size = ts.size[own]
+    own_constr = ts.constr[own]
+    own_fin = ts.fin[own]
+
+    ptn_c = jnp.minimum(ptn, nseg - 1)
+    a2 = root[ptn_c]                             # (nseg,K) partner roots
+    nb_mean = mean[a2]
+    nb_constr = ts.constr[a2]
+    nb_fin = ts.fin[a2]
+
+    live = (ptn < _I32MAX) & (a2 != own[:, None]) \
+        & (own[:, None] != sink) & (a2 != sink)
+    w_eff = pbk.astype(jnp.float32) * (1.0 / NUM_BUCKETS)
+    dd = _dist(own_mean[:, None, :], nb_mean, p.metric)
+    force = (w_eff < p.force_merge_weight) & (dd < 0.2)
+    dd = jnp.where(force, 0.0, dd)
+
+    either_free = (own_constr[:, None] < 0) | (nb_constr < 0)
+    regular = (either_free & ~own_fin[:, None] & ~nb_fin
+               & (dd < p.merge_threshold))
+    constr_same = (~either_free & (own_constr[:, None] == nb_constr)
+                   & (dd <= p.split_threshold))
+    adm_merge = (pbk <= theta) & (regular | constr_same)
+    both_constr_diff = (~either_free) & (own_constr[:, None] != nb_constr)
+    own_small = own_size < p.min_region_size
+    adm_small = own_small[:, None] & ~both_constr_diff
+    is_min_size = mode == MODE_MIN_SIZE
+    adm = live & jnp.where(is_min_size, adm_small, adm_merge)
+
+    packed = jnp.where(adm, (jnp.minimum(pbk, NUM_BUCKETS - 2)
+                             << _PARTNER_BITS) | a2, _I32MAX)
+    best_slot = jnp.min(packed, axis=1)          # (nseg,)
+    r_best = jax.ops.segment_min(best_slot, own, num_segments=nseg)
+    partner = jnp.where(r_best < _I32MAX, r_best & _PARTNER_MASK, _I32MAX)
+    return _apply_merge(ts, partner, nseg, up=up)
+
+
+def _table_level_end(ts: SolverState, tab, theta, nseg, sink,
+                     p: OversegParams):
+    """Level-end finalization / unconstraining over the FULL edge table
+    (mirrors `_level_end`; both endpoint views are table columns, so each
+    side of an edge gets flagged from its own anchor)."""
+    root = ts.label
+    mean = ts.csum / jnp.maximum(ts.size, 1.0)[:, None]
+    own = root
+    own_mean = mean[own]
+    own_size = ts.size[own]
+    own_constr = ts.constr[own]
+    own_fin = ts.fin[own]
+    own_frozen = ts.frozen[own]
+
+    pk = tab.T                                   # (nseg, D)
+    ptn = jnp.where(pk < _I32MAX, pk & _PARTNER_MASK, 0)
+    bkt = jnp.where(pk < _I32MAX, pk >> _PARTNER_BITS, NUM_BUCKETS)
+    a2 = root[ptn]
+    nb_mean = mean[a2]
+    nb_constr = ts.constr[a2]
+    nb_fin = ts.fin[a2]
+    nb_size = ts.size[a2]
+
+    live = (pk < _I32MAX) & (a2 != own[:, None]) \
+        & (own[:, None] != sink) & (a2 != sink)
+    act = live & (bkt <= theta)
+    w_eff = bkt.astype(jnp.float32) * (1.0 / NUM_BUCKETS)
+    dd = _dist(own_mean[:, None, :], nb_mean, p.metric)
+    force = (w_eff < p.force_merge_weight) & (dd < 0.2)
+    dd = jnp.where(force, 0.0, dd)
+
+    either_free = (own_constr[:, None] < 0) | (nb_constr < 0)
+    fail = (act & either_free & ~own_fin[:, None] & ~nb_fin
+            & (dd >= p.merge_threshold))
+    split = (act & ~either_free & (own_constr[:, None] == nb_constr)
+             & (dd > p.split_threshold))
+    uncon = split & ~(nb_size < 0.3 * own_size[:, None]) \
+        & ~own_frozen[:, None]
+
+    fail_slot = jnp.any(fail, axis=1)
+    uncon_slot = jnp.any(uncon, axis=1)
+    fail_r = jax.ops.segment_max(fail_slot.astype(jnp.int32), own,
+                                 num_segments=nseg) > 0
+    uncon_r = jax.ops.segment_max(uncon_slot.astype(jnp.int32), own,
+                                  num_segments=nseg) > 0
+    return ts._replace(fin=ts.fin | fail_r,
+                       constr=jnp.where(uncon_r, -1, ts.constr))
+
+
 def _merge_constrained(state: SolverState, num_constraints: int, n: int,
                        p: OversegParams):
     """Final constraint association (MergeConstrainedRegions,
@@ -513,6 +722,10 @@ def _solve(vol, flow, init_label, constr_init, frozen_init,
         [params.max_rounds_per_level] * (n_levels - 1)
         + [params.max_final_rounds], jnp.int32)
 
+    if params.edge_table:
+        return _solve_edge_table(vol, state, params, fl, n_pix,
+                                 thetas, level_rounds, has_constraints)
+
     def make_level_body(n, sink, use_temporal=True):
         def level_body(l, state):
             state = run_rounds(state, thetas[l], level_rounds[l],
@@ -569,6 +782,72 @@ def _solve(vol, flow, init_label, constr_init, frozen_init,
 
     return OversegResult(label=final.reshape(t, h, w),
                          constr=constr_out, size=size_out)
+
+
+def _solve_edge_table(vol, state, params, fl, n_pix, thetas,
+                      level_rounds, has_constraints):
+    """Edge-table phases of the v2 solver (see module docstring and the
+    OversegParams.edge_table comment).  `state` is the initial pixel-space
+    solver state; `fl` the flow or None."""
+    t, h, w, _ = vol.shape
+    r_cap = min(max(n_pix // params.compact_divisor, 1 << 14), n_pix,
+                _PARTNER_MASK - 1)
+    nseg = r_cap + 1
+    sink = r_cap
+    state, orig_label = _compact(state, n_pix, r_cap)
+    memb = state.label                        # (N,) pixel -> table slot
+    ts = SolverState(jnp.arange(nseg, dtype=jnp.int32), state.csum,
+                     state.size, state.constr, state.fin, state.frozen)
+
+    tab = _extract_edges(memb.reshape(t, h, w), vol, fl, nseg, sink, params)
+    ptn, pbk = _topk_edges(tab, params.edge_topk)
+
+    def run_rounds(ts, theta, max_rounds, mode):
+        def cond(carry):
+            st, i, idle = carry
+            return (idle < 2) & (i < max_rounds)
+
+        def body(carry):
+            st, i, idle = carry
+            st, moved, cands = _table_round(st, ptn, pbk, theta,
+                                            (i % 2) == 0, mode, nseg, sink,
+                                            params)
+            idle = jnp.where(cands == 0, 2,
+                             jnp.where(moved > 0, 0, idle + 1))
+            return st, i + 1, idle
+
+        ts, _, _ = jax.lax.while_loop(cond, body,
+                                      (ts, jnp.int32(0), jnp.int32(0)))
+        return ts
+
+    def level_body(l, ts):
+        ts = run_rounds(ts, thetas[l], level_rounds[l], jnp.int32(MODE_MERGE))
+        return _table_level_end(ts, tab, thetas[l], nseg, sink, params)
+
+    ts = jax.lax.fori_loop(0, thetas.shape[0], level_body, ts)
+
+    if params.min_region_size > 1:
+        ts = run_rounds(ts, jnp.int32(NUM_BUCKETS),
+                        jnp.int32(params.min_size_rounds),
+                        jnp.int32(MODE_MIN_SIZE))
+
+    if has_constraints:
+        ts = _merge_constrained(ts, params.max_constraints, nseg, params)
+
+    # Reconstruct labels in original root-voxel space (same scheme as the
+    # v1 tail): each live region takes its minimum original root; sink
+    # pixels keep their pre-table root.
+    root_px = ts.label[memb]
+    orig_min = jax.ops.segment_min(orig_label, root_px, num_segments=nseg)
+    final = jnp.where(root_px == sink, orig_label, orig_min[root_px])
+    live = (ts.size > 0) & (jnp.arange(nseg) != sink)
+    tgt = jnp.where(live, orig_min, 0)
+    constr_out = jnp.full(n_pix, -1, jnp.int32)
+    constr_out = constr_out.at[tgt].max(jnp.where(live, ts.constr, -1))
+    size_out = jnp.zeros(n_pix, jnp.float32)
+    size_out = size_out.at[tgt].add(jnp.where(live, ts.size, 0.0))
+    return OversegResult(label=final.reshape(t, h, w), constr=constr_out,
+                         size=size_out)
 
 
 def oversegment(vol, flow=None, constraints=None, init_label=None,

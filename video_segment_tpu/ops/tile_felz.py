@@ -1,0 +1,395 @@
+"""Pallas tile-local Felzenszwalb solver (Stage A of the v2 over-segmenter).
+
+Runs the full bucket-schedule merge semantics of the reference
+(segmentation_graph.h:339-463: ascending weight levels, mean-color
+descriptor gate, finalize-on-failed-test) *locally* inside (8,128) VMEM
+tiles, one frame at a time, so the global edge-table solver starts from
+~10-100x fewer regions than raw pixels.  Cross-tile, temporal, constraint,
+and min-region-size semantics are NOT handled here — they belong to the
+global phases.
+
+Everything is VMEM-resident and label-indexed work is expressed as
+one-hot contractions so the MXU does it:
+
+- a tile label is a (row, col) pair (labr in [0,8), labc in [0,128)), so
+  tables are (8,128)-shaped and no (8,128)->(1024,..) reshape is needed
+  (Mosaic rejects that shape cast);
+- aggregate(v)[a,b]   = sum of v over pixels with label (a,b):
+  per-channel dot_general batched over pixel rows;
+- distribute(T)[i,j]  = T[labr[i,j], labc[i,j]]:
+  one dot_general against the row one-hot + a masked lane reduction;
+- per-label min/max: masked (8,128,128) reductions per label row.
+
+The pure-NumPy mirror `tile_felz_reference` implements the identical
+round structure; tests assert exact label equality in interpret mode.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from video_segment_tpu.ops import cc
+
+TILE_H = 8
+TILE_W = 128
+NUM_BUCKETS = 2048
+_BIG = 2 ** 30  # python int; jnp constants would be captured by the kernel
+
+# In-tile N8 directions as (dy, dx); every edge is proposed from both ends.
+DIRS = ((0, 1), (0, -1), (1, 0), (-1, 0), (1, 1), (1, -1), (-1, 1), (-1, -1))
+
+
+def _roll2(x, dy, dx):
+    """Neighbor view: value at (i+dy, j+dx), non-wrapping handled by masks."""
+    return pltpu.roll(pltpu.roll(x, (-dy) % TILE_H, axis=0),
+                      (-dx) % TILE_W, axis=1)
+
+
+def _onehot_rows(labr):
+    """(8,128) int32 row labels -> (8,128,8) f32 one-hot over label rows."""
+    a = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W, TILE_H), 2)
+    return (labr[:, :, None] == a).astype(jnp.float32)
+
+
+def _aggregate(ohr, labc, v):
+    """Sum v (8,128) into label table (8,128): T[a,b] = sum over pixels."""
+    b = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W, TILE_W), 2)
+    ohc = (labc[:, :, None] == b).astype(jnp.float32)       # (i,j,b)
+    lhs = ohr * v[:, :, None]                               # (i,j,a)
+    # contract j, batch i -> (i,a,b), then sum rows.
+    out = jax.lax.dot_general(lhs, ohc, (((1,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.float32)
+    return jnp.sum(out, axis=0)
+
+
+def _distribute(ohr, labc, table):
+    """Per-pixel value of its label: g[i,j] = table[labr[i,j], labc[i,j]]."""
+    # P[i,j,b] = sum_a ohr[i,j,a] * table[a,b]
+    p = jax.lax.dot_general(ohr, table, (((2,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    b = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W, TILE_W), 2)
+    sel = (labc[:, :, None] == b).astype(jnp.float32)
+    return jnp.sum(p * sel, axis=2)
+
+
+def _label_min(labr, labc, v):
+    """Per-label min of v (+_BIG identity), returned as a (8,128) table."""
+    rows = []
+    b = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W, TILE_W), 2)
+    ohc = labc[:, :, None] == b
+    vb = jnp.where(ohc, v[:, :, None].astype(jnp.float32), 2.0 ** 31)
+    for a in range(TILE_H):
+        va = jnp.where((labr == a)[:, :, None], vb, 2.0 ** 31)
+        rows.append(jnp.min(va, axis=(0, 1))[None, :])
+    return jnp.concatenate(rows, axis=0).astype(jnp.int32)
+
+
+def _label_max(labr, labc, v):
+    """Per-label max of v (0 identity), as (8,128) f32 table."""
+    rows = []
+    b = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W, TILE_W), 2)
+    ohc = labc[:, :, None] == b
+    vb = jnp.where(ohc, v[:, :, None], 0.0)
+    for a in range(TILE_H):
+        va = jnp.where((labr == a)[:, :, None], vb, 0.0)
+        rows.append(jnp.max(va, axis=(0, 1))[None, :])
+    return jnp.concatenate(rows, axis=0)
+
+
+def _compose(pa, pb):
+    """One pointer-jump of the (row,col) parent tables: P <- P[P]."""
+    ohr = _onehot_rows(pa)
+    pa2 = _distribute(ohr, pb, pa.astype(jnp.float32)).astype(jnp.int32)
+    pb2 = _distribute(ohr, pb, pb.astype(jnp.float32)).astype(jnp.int32)
+    return pa2, pb2
+
+
+def _dist(a, b, metric):
+    d0 = a[0] - b[0]
+    d1 = a[1] - b[1]
+    d2 = a[2] - b[2]
+    if metric == "l1":
+        return (jnp.abs(d0) + jnp.abs(d1) + jnp.abs(d2)) * (1.0 / 3.0)
+    return jnp.sqrt((d0 * d0 + d1 * d1 + d2 * d2) * (1.0 / 3.0))
+
+
+def _solve_subtile(color3, gy, gx, h, w, *, schedule, rounds_per_level,
+                   merge_threshold, metric):
+    """Full local solve of one (8,128) subtile.  Returns flat local root
+    label (8,128) int32 in [0,1024) and per-pixel fin flag (8,128) f32."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+    inb = (gy < h) & (gx < w)
+
+    c = [color3[:, :, 0], color3[:, :, 1], color3[:, :, 2]]
+
+    # Static per-direction edge buckets + validity.
+    buckets = []
+    valids = []
+    for dy, dx in DIRS:
+        nb = [_roll2(ch, dy, dx) for ch in c]
+        d = _dist(c, nb, metric)
+        bkt = jnp.clip((d * NUM_BUCKETS).astype(jnp.int32), 0,
+                       NUM_BUCKETS - 1)
+        nb_inb = _roll2(inb.astype(jnp.int32), dy, dx) > 0
+        v = (inb & nb_inb
+             & (rows + dy >= 0) & (rows + dy < TILE_H)
+             & (cols + dx >= 0) & (cols + dx < TILE_W))
+        buckets.append(bkt)
+        valids.append(v)
+
+    labr = rows
+    labc = cols
+    fin_t = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+
+    for theta in schedule:
+        for rnd in range(rounds_per_level):
+            ohr = _onehot_rows(labr)
+            ones = jnp.ones((TILE_H, TILE_W), jnp.float32)
+            size_t = _aggregate(ohr, labc, ones)
+            mean_t = [_aggregate(ohr, labc, ch)
+                      / jnp.maximum(size_t, 1.0) for ch in c]
+            mean_px = [_distribute(ohr, labc, m) for m in mean_t]
+            fin_px = _distribute(ohr, labc, fin_t)
+            lab_flat = labr * TILE_W + labc
+
+            best = jnp.full((TILE_H, TILE_W), _BIG, jnp.int32)
+            for k, (dy, dx) in enumerate(DIRS):
+                nb_mean = [_roll2(m, dy, dx) for m in mean_px]
+                nb_fin = _roll2(fin_px, dy, dx)
+                nb_lab = _roll2(lab_flat, dy, dx)
+                dd = _dist(mean_px, nb_mean, metric)
+                adm = (valids[k] & (buckets[k] <= theta)
+                       & (nb_lab != lab_flat)
+                       & (fin_px < 0.5) & (nb_fin < 0.5)
+                       & (dd < merge_threshold))
+                cand = (buckets[k] << 10) | nb_lab
+                best = jnp.minimum(best, jnp.where(adm, cand, _BIG))
+
+            best_t = _label_min(labr, labc, best)
+            partner = best_t & 1023
+            have = best_t < _BIG
+            own_flat = rows * TILE_W + cols       # table cell's own label id
+            up = (rnd % 2) == 0
+            hook = have & ((partner > own_flat) == up)
+            pa = jnp.where(hook, partner >> 7, rows)
+            pb = jnp.where(hook, partner & 127, cols)
+            # Parity hooking chains are monotone; 4 jumps resolve <=16 deep
+            # (tile diameter bounds real chain depth far below that).
+            for _ in range(4):
+                pa, pb = _compose(pa, pb)
+            ohr2 = _onehot_rows(labr)
+            labr = _distribute(ohr2, labc, pa.astype(jnp.float32)) \
+                .astype(jnp.int32)
+            labc = _distribute(ohr2, labc, pb.astype(jnp.float32)) \
+                .astype(jnp.int32)
+
+        # Level end: any failed merge test at weight <= theta finalizes
+        # both endpoint regions (segmentation_graph.h:399-402).
+        ohr = _onehot_rows(labr)
+        ones = jnp.ones((TILE_H, TILE_W), jnp.float32)
+        size_t = _aggregate(ohr, labc, ones)
+        mean_t = [_aggregate(ohr, labc, ch) / jnp.maximum(size_t, 1.0)
+                  for ch in c]
+        mean_px = [_distribute(ohr, labc, m) for m in mean_t]
+        lab_flat = labr * TILE_W + labc
+        fail = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+        for k, (dy, dx) in enumerate(DIRS):
+            nb_mean = [_roll2(m, dy, dx) for m in mean_px]
+            nb_lab = _roll2(lab_flat, dy, dx)
+            dd = _dist(mean_px, nb_mean, metric)
+            bad = (valids[k] & (buckets[k] <= theta)
+                   & (nb_lab != lab_flat) & (dd >= merge_threshold))
+            fail = jnp.maximum(fail, bad.astype(jnp.float32))
+        fin_t = jnp.maximum(fin_t, _label_max(labr, labc, fail))
+
+    fin_px = _distribute(_onehot_rows(labr), labc, fin_t)
+    return labr * TILE_W + labc, fin_px
+
+
+def _kernel(vol_ref, out_ref, fin_ref, *, h, w, band_h, schedule,
+            rounds_per_level, merge_threshold, metric):
+    t_idx = pl.program_id(0)
+    y_idx = pl.program_id(1)
+    x_idx = pl.program_id(2)
+    band = vol_ref[0]                       # (band_h, TILE_W, 3)
+
+    for s in range(band_h // TILE_H):
+        color3 = band[s * TILE_H:(s + 1) * TILE_H]
+        y0 = y_idx * band_h + s * TILE_H
+        x0 = x_idx * TILE_W
+        rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+        gy = y0 + rows
+        gx = x0 + cols
+        lab, fin = _solve_subtile(color3, gy, gx, h, w, schedule=schedule,
+                                  rounds_per_level=rounds_per_level,
+                                  merge_threshold=merge_threshold,
+                                  metric=metric)
+        # local root -> global voxel id
+        root_y = y0 + (lab >> 7)
+        root_x = x0 + (lab & 127)
+        out_ref[0, s * TILE_H:(s + 1) * TILE_H] = \
+            t_idx * (h * w) + root_y * w + root_x
+        fin_ref[0, s * TILE_H:(s + 1) * TILE_H] = \
+            (fin > 0.5).astype(jnp.int32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("schedule", "rounds_per_level",
+                                    "merge_threshold", "metric"))
+def tile_felzenszwalb(vol: jnp.ndarray,
+                      schedule: tuple = (4, 32, 192, 1024),
+                      rounds_per_level: int = 2,
+                      merge_threshold: float = 0.05,
+                      metric: str = "l2"):
+    """(T,H,W,3) float volume -> ((T,H,W) int32 labels, (T,H,W) bool fin).
+
+    Labels are global voxel ids of in-tile roots (self-rooted).  `fin`
+    marks pixels whose local region failed a merge test (feeds the global
+    solver's finalized set).
+    """
+    t, h, w, _ = vol.shape
+    band_h = 64 if h % 64 == 0 or h >= 256 else TILE_H
+    hp = -(-h // band_h) * band_h
+    wp = -(-w // TILE_W) * TILE_W
+    volp = jnp.pad(vol, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)),
+                   constant_values=1e6)
+
+    out, fin = pl.pallas_call(
+        functools.partial(_kernel, h=h, w=w, band_h=band_h,
+                          schedule=schedule,
+                          rounds_per_level=rounds_per_level,
+                          merge_threshold=merge_threshold, metric=metric),
+        out_shape=(jax.ShapeDtypeStruct((t, hp, wp), jnp.int32),
+                   jax.ShapeDtypeStruct((t, hp, wp), jnp.int32)),
+        grid=(t, hp // band_h, wp // TILE_W),
+        in_specs=[pl.BlockSpec((1, band_h, TILE_W, 3),
+                               lambda ti, yi, xi: (ti, yi, xi, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((1, band_h, TILE_W),
+                                lambda ti, yi, xi: (ti, yi, xi),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, band_h, TILE_W),
+                                lambda ti, yi, xi: (ti, yi, xi),
+                                memory_space=pltpu.VMEM)),
+        interpret=jax.default_backend() != "tpu",
+    )(volp)
+    out = out[:, :h, :w]
+    fin = fin[:, :h, :w] > 0
+    # Labels are self-rooted by construction (the root cell's own label is
+    # itself after full pointer jumping), but pointer-jump defensively —
+    # it exits after one no-change iteration.
+    return (cc.pointer_jump(out.reshape(-1)).reshape(out.shape), fin)
+
+
+# ---------------------------------------------------------------------------
+# NumPy mirror (same round structure; used as the test oracle).
+
+
+def tile_felz_reference(vol: np.ndarray, schedule=(4, 32, 192, 1024),
+                        rounds_per_level: int = 2,
+                        merge_threshold: float = 0.05,
+                        metric: str = "l2"):
+    """Sequential NumPy mirror of the kernel, tile by tile."""
+    t, h, w, _ = vol.shape
+    out = np.zeros((t, h, w), np.int64)
+    fin_out = np.zeros((t, h, w), bool)
+    for ti in range(t):
+        for y0 in range(0, h, TILE_H):
+            for x0 in range(0, w, TILE_W):
+                hh = min(TILE_H, h - y0)
+                ww = min(TILE_W, w - x0)
+                pad = np.full((TILE_H, TILE_W, 3), 1e6, np.float32)
+                pad[:hh, :ww] = vol[ti, y0:y0 + hh, x0:x0 + ww]
+                lab, fin = _ref_subtile(pad, hh, ww, schedule,
+                                        rounds_per_level, merge_threshold,
+                                        metric)
+                ry, rx = lab[:hh, :ww] // TILE_W, lab[:hh, :ww] % TILE_W
+                out[ti, y0:y0 + hh, x0:x0 + ww] = \
+                    ti * h * w + (y0 + ry) * w + (x0 + rx)
+                fin_out[ti, y0:y0 + hh, x0:x0 + ww] = fin[:hh, :ww]
+    return out, fin_out
+
+
+def _ref_subtile(c, hh, ww, schedule, rounds_per_level, merge_threshold,
+                 metric):
+    def dist(a, b):
+        d = a - b
+        if metric == "l1":
+            return np.abs(d).sum(-1) / 3.0
+        return np.sqrt((d * d).sum(-1) / 3.0)
+
+    rows, cols = np.mgrid[0:TILE_H, 0:TILE_W]
+    inb = (rows < hh) & (cols < ww)
+    lab = (rows * TILE_W + cols).astype(np.int64)
+
+    buckets = {}
+    valids = {}
+    for dy, dx in DIRS:
+        nb = np.roll(np.roll(c, -dy, axis=0), -dx, axis=1)
+        bkt = np.clip((dist(c, nb) * NUM_BUCKETS).astype(np.int64), 0,
+                      NUM_BUCKETS - 1)
+        nb_inb = np.roll(np.roll(inb, -dy, axis=0), -dx, axis=1)
+        v = (inb & nb_inb & (rows + dy >= 0) & (rows + dy < TILE_H)
+             & (cols + dx >= 0) & (cols + dx < TILE_W))
+        buckets[(dy, dx)] = bkt
+        valids[(dy, dx)] = v
+
+    fin = np.zeros(TILE_H * TILE_W, bool)
+
+    def tables():
+        csum = np.zeros((TILE_H * TILE_W, 3))
+        size = np.zeros(TILE_H * TILE_W)
+        np.add.at(csum, lab.ravel(), c.reshape(-1, 3))
+        np.add.at(size, lab.ravel(), 1.0)
+        return csum / np.maximum(size, 1.0)[:, None]
+
+    for theta in schedule:
+        for rnd in range(rounds_per_level):
+            mean = tables()
+            mean_px = mean[lab]
+            fin_px = fin[lab]
+            best = np.full((TILE_H, TILE_W), 2 ** 30, np.int64)
+            for dy, dx in DIRS:
+                nb_lab = np.roll(np.roll(lab, -dy, axis=0), -dx, axis=1)
+                nb_mean = np.roll(np.roll(mean_px, -dy, axis=0), -dx, axis=1)
+                nb_fin = np.roll(np.roll(fin_px, -dy, axis=0), -dx, axis=1)
+                dd = dist(mean_px, nb_mean)
+                adm = (valids[(dy, dx)] & (buckets[(dy, dx)] <= theta)
+                       & (nb_lab != lab) & ~fin_px & ~nb_fin
+                       & (dd < merge_threshold))
+                cand = (buckets[(dy, dx)] << 10) | nb_lab
+                best = np.minimum(best, np.where(adm, cand, 2 ** 30))
+            best_t = np.full(TILE_H * TILE_W, 2 ** 30, np.int64)
+            np.minimum.at(best_t, lab.ravel(), best.ravel())
+            partner = best_t & 1023
+            have = best_t < 2 ** 30
+            own = np.arange(TILE_H * TILE_W)
+            up = (rnd % 2) == 0
+            hook = have & ((partner > own) == up)
+            parent = np.where(hook, partner, own)
+            for _ in range(4):
+                parent = parent[parent]
+            lab = parent[lab]
+
+        mean = tables()
+        mean_px = mean[lab]
+        fail = np.zeros((TILE_H, TILE_W), bool)
+        for dy, dx in DIRS:
+            nb_lab = np.roll(np.roll(lab, -dy, axis=0), -dx, axis=1)
+            nb_mean = np.roll(np.roll(mean_px, -dy, axis=0), -dx, axis=1)
+            dd = dist(mean_px, nb_mean)
+            fail |= (valids[(dy, dx)] & (buckets[(dy, dx)] <= theta)
+                     & (nb_lab != lab) & (dd >= merge_threshold))
+        fail_t = np.zeros(TILE_H * TILE_W, bool)
+        np.logical_or.at(fail_t, lab.ravel(), fail.ravel())
+        fin |= fail_t
+
+    return lab, fin[lab]

@@ -20,6 +20,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from video_segment_tpu.ops import cc
+
 TILE_H = 8
 TILE_W = 128
 
@@ -106,4 +108,11 @@ def tile_presegment(vol: jnp.ndarray, threshold: float = 0.002,
                                memory_space=pltpu.VMEM),
         interpret=jax.default_backend() != "tpu",
     )(volp)
-    return out[:, :h, :w]
+    out = out[:, :h, :w]
+    # The bounded in-kernel flood can leave label *chains* on regions whose
+    # tile-local diameter exceeds `iters` (label[p] -> m, label[m] -> m' < m).
+    # Consumers (notably _compact's is_root test) require fully resolved
+    # labels, so collapse chains with pointer jumping; they are strictly
+    # decreasing, hence acyclic, and almost always short (the while_loop
+    # exits as soon as labels stabilize).
+    return cc.pointer_jump(out.reshape(-1)).reshape(out.shape)

@@ -170,12 +170,22 @@ def main(argv=None):
     t0 = time.time()
     n_out = 0
 
+    def _emit_flow(ready):
+        out = []
+        for idx, frame, fl in ready:
+            if region_stage is not None:
+                region_stage.add_frame(idx, frame, fl)
+            out.append((frame, fl))
+        return out
+
     def flow_stage(item):
         idx, frame = item
-        fl = flow_fn.compute(frame, idx) if flow_fn is not None else None
-        if region_stage is not None:
-            region_stage.add_frame(idx, frame, fl)
-        return [(frame, fl)]
+        if flow_fn is None:
+            return _emit_flow([(idx, frame, None)])
+        return _emit_flow(flow_fn.push(frame, idx))
+
+    def flow_flush():
+        return _emit_flow(flow_fn.flush()) if flow_fn is not None else []
 
     def dense_stage(item):
         frame, fl = item
@@ -187,7 +197,7 @@ def main(argv=None):
     if args.use_pipeline:
         from video_segment_tpu.runtime import pipeline as pl
 
-        stages = [pl.Stage("flow", flow_stage),
+        stages = [pl.Stage("flow", flow_stage, flush=flow_flush),
                   pl.Stage("dense", dense_stage,
                            flush=lambda: ds.process_frame(True))]
         if region_stage is not None:
@@ -208,13 +218,17 @@ def main(argv=None):
     else:
         n_in = 0
         for frame in reader:
-            out = dense_stage(flow_stage((n_in, frame))[0])
-            if region_stage is not None:
-                out = [o for sf in out for o in region_fn(sf)]
-            for sf in out:
-                consume_one(sf)
+            for pair in flow_stage((n_in, frame)):
+                out = dense_stage(pair)
+                if region_stage is not None:
+                    out = [o for sf in out for o in region_fn(sf)]
+                for sf in out:
+                    consume_one(sf)
             n_in += 1
-        out = ds.process_frame(True)
+        out = []
+        for pair in flow_flush():
+            out.extend(dense_stage(pair))
+        out.extend(ds.process_frame(True))
         if region_stage is not None:
             out = ([o for sf in out for o in region_fn(sf)]
                    + region_stage.process_frames(True, []))
