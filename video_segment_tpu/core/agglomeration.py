@@ -104,10 +104,41 @@ def _merge_subround(state: AggloState, edges, d, budget, up):
     return AggloState(label, hist, fh, fc, sizes), moved
 
 
+def _force_constraints(state: AggloState, constr):
+    """Force-merge regions whose base members share a counterpart
+    constraint (the reference's skeleton virtual edges,
+    region_segmentation_graph.cpp:52-71: same-constraint regions always end
+    the level merged).  `constr` is per BASE region, -1 = unconstrained.
+
+    Hooks every constrained root onto the minimum root carrying its
+    constraint — strictly downward, hence acyclic."""
+    r = state.label.shape[0]
+    slots = jnp.arange(r, dtype=jnp.int32)
+    root = state.label
+    has_c = constr >= 0
+    cid = jnp.clip(constr, 0, r - 1)
+    rep = jax.ops.segment_min(jnp.where(has_c, root, _I32MAX), cid,
+                              num_segments=r)
+    tgt = jnp.where(has_c, rep[cid], _I32MAX)
+    partner = jax.ops.segment_min(
+        jnp.where(has_c & (tgt != root), tgt, _I32MAX), root,
+        num_segments=r)
+    hook = (partner < _I32MAX) & (partner < slots)
+    parent = jnp.where(hook, partner, slots)
+    root2 = cc.pointer_jump(parent)
+    hist = jax.ops.segment_sum(state.hist, root2, num_segments=r)
+    fh = jax.vmap(lambda x: jax.ops.segment_sum(x, root2, num_segments=r),
+                  in_axes=0, out_axes=0)(state.flow_hist)
+    fc = jax.vmap(lambda x: jax.ops.segment_sum(x, root2, num_segments=r),
+                  in_axes=0, out_axes=0)(state.flow_cnt)
+    sizes = jax.ops.segment_sum(state.sizes, root2, num_segments=r)
+    return AggloState(root2[state.label], hist, fh, fc, sizes)
+
+
 @functools.partial(jax.jit, static_argnames=("max_subrounds",))
-def _run_level(state: AggloState, edges, evalid, is_level0, max_region_num,
-               min_region_num, cutoff_fraction, use_flow, penalizer,
-               max_subrounds: int):
+def _run_level(state: AggloState, edges, evalid, constr, is_level0,
+               max_region_num, min_region_num, cutoff_fraction, use_flow,
+               penalizer, max_subrounds: int):
     r = state.label.shape[0]
     slots = jnp.arange(r, dtype=jnp.int32)
     active_mask = (state.label == slots) & (state.sizes > 0)
@@ -118,7 +149,17 @@ def _run_level(state: AggloState, edges, evalid, is_level0, max_region_num,
         jnp.maximum(min_region_num,
                     (active.astype(jnp.float32)
                      * cutoff_fraction).astype(jnp.int32)))
-    budget_total = jnp.maximum(active - cut_target, 0)
+    # Anticipated forced constraint merges come out of the budget
+    # (segmentation.cpp:316-330: target merges minus constraint merges).
+    has_c = constr >= 0
+    cid = jnp.clip(constr, 0, r - 1)
+    root_c = jnp.where(has_c, state.label, 0)
+    n_croots = jnp.sum(jax.ops.segment_max(
+        has_c.astype(jnp.int32), root_c, num_segments=r))
+    n_cids = jnp.sum(jax.ops.segment_max(
+        has_c.astype(jnp.int32), cid, num_segments=r))
+    anticipated = jnp.maximum(n_croots - n_cids, 0)
+    budget_total = jnp.maximum(active - cut_target - anticipated, 0)
 
     sz_sorted = jnp.sort(jnp.where(active_mask, state.sizes, jnp.inf))
     median = sz_sorted[jnp.clip(active // 2, 0, r - 1)]
@@ -138,17 +179,27 @@ def _run_level(state: AggloState, edges, evalid, is_level0, max_region_num,
 
     state, merged, _ = jax.lax.fori_loop(0, max_subrounds, body,
                                          (state, jnp.int32(0), d))
-    return state, active - merged
+    state = _force_constraints(state, constr)
+    active_after = jnp.sum(((state.label == slots)
+                            & (state.sizes > 0)).astype(jnp.int32))
+    return state, active_after
 
 
 def agglomerate(hist, flow_hist, flow_cnt, sizes, edges, num_regions: int,
                 *, min_region_num: int = 10, max_region_num: int = 10000,
                 cutoff_fraction: float = 0.8, penalizer: float = 0.25,
-                use_flow: bool = True, max_subrounds: int = 6):
+                use_flow: bool = True, max_subrounds: int = 6,
+                constraints=None):
     """Run the full level loop; returns list of per-level (R,) root arrays.
 
     Regions with index >= num_regions must be padding (zero stats); their
     labels stay self and they never merge (no edges reference them).
+
+    `constraints`: optional list of per-level (R,) int32 arrays of compact
+    counterpart constraint ids over BASE regions (-1 free).  At level l all
+    regions carrying the same constraints[l] id are force-merged, keeping
+    hierarchy composition continuous across chunk-set seams
+    (region_segmentation.cpp:143-197).
     """
     r = hist.shape[0]
     state = AggloState(jnp.arange(r, dtype=jnp.int32), jnp.asarray(hist),
@@ -158,13 +209,17 @@ def agglomerate(hist, flow_hist, flow_cnt, sizes, edges, num_regions: int,
     evalid = jnp.ones(edges.shape[0], bool) if edges.size else \
         jnp.zeros(0, bool)
     use_flow_f = jnp.float32(1.0 if use_flow else 0.0)
+    no_constr = jnp.full(r, -1, jnp.int32)
 
     levels = []
     active = num_regions
     level = 0
     while active > min_region_num:
+        constr = no_constr
+        if constraints is not None and level < len(constraints):
+            constr = jnp.asarray(constraints[level], jnp.int32)
         state, new_active = _run_level(
-            state, edges, evalid, jnp.bool_(level == 0),
+            state, edges, evalid, constr, jnp.bool_(level == 0),
             jnp.int32(max_region_num), jnp.int32(min_region_num),
             jnp.float32(cutoff_fraction), use_flow_f,
             jnp.float32(penalizer), max_subrounds)

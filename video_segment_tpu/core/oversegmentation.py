@@ -81,7 +81,7 @@ class OversegParams(NamedTuple):
     max_constraints: int = 1 << 16
     # Ascending bucket thresholds; each runs Boruvka rounds to a fixed point.
     schedule: tuple = (4, 32, 192, 1024, 2047)
-    max_rounds_per_level: int = 8
+    max_rounds_per_level: int = 5
     max_final_rounds: int = 12
     min_size_rounds: int = 12
     # After `compact_after_levels` schedule levels, the region space is
@@ -99,10 +99,15 @@ class OversegParams(NamedTuple):
     # (tile preseg at `preseg_threshold`) so live regions fit the table.
     edge_table: bool = True
     edge_topk: int = 12
+    # Region-table size divisor for the edge-table path (r2 sweep: n//8
+    # tables run 4x faster than n//2 with identical output on the bench
+    # clip; overflow falls into the inert sink, so preseg must keep live
+    # regions below n_pix/table_divisor).
+    table_divisor: int = 8
     # Distance below which tile preseg floods pixels together when feeding
-    # the edge-table solver (bucket 10 of 2048; small enough that region
-    # means cannot drift materially from member colors).
-    preseg_threshold: float = 0.005
+    # the edge-table solver (bucket ~20 of 2048: merges the reference would
+    # accept at its earliest levels; region means cannot drift materially).
+    preseg_threshold: float = 0.01
 
 
 class SolverState(NamedTuple):
@@ -790,7 +795,7 @@ def _solve_edge_table(vol, state, params, fl, n_pix, thetas,
     OversegParams.edge_table comment).  `state` is the initial pixel-space
     solver state; `fl` the flow or None."""
     t, h, w, _ = vol.shape
-    r_cap = min(max(n_pix // params.compact_divisor, 1 << 14), n_pix,
+    r_cap = min(max(n_pix // params.table_divisor, 1 << 14), n_pix,
                 _PARTNER_MASK - 1)
     nseg = r_cap + 1
     sink = r_cap

@@ -167,6 +167,11 @@ class RegionSegmentation:
         tc = len(chunk.frames)
         rc = len(chunk.gids)
         rcap = _next_pow2(rc + 1)
+        if rcap * self.num_color_bins >= 2 ** 31:
+            raise ValueError(
+                f"chunk has {rc} over-segmented regions — far beyond sane "
+                f"density; flat histogram keys would overflow int32 "
+                f"(rcap {rcap} * {self.num_color_bins} bins)")
         tpad = _next_pow2(tc)
         h, w = self.frame_height, self.frame_width
         labels = np.full((tpad, h, w), rcap - 1, np.int32)
@@ -257,13 +262,34 @@ class RegionSegmentation:
         edges = np.zeros((ecap, 2), np.int32)
         edges[:len(pairs)] = pairs
 
+        # Counterpart constraints: regions whose members were grouped
+        # together at level l of the previous set must stay together at
+        # level l here (region_segmentation.cpp:143-197 exchange; forced
+        # skeleton merges region_segmentation_graph.cpp:52-71).
+        constraints = None
+        if getattr(self, "_prev_assign", None):
+            constraints = []
+            for pg, pid in self._prev_assign:
+                carr = np.full(rcap, -1, np.int32)
+                if len(pg):
+                    pos = np.searchsorted(pg, all_gids)
+                    pos_c = np.minimum(pos, len(pg) - 1)
+                    has = pg[pos_c] == all_gids
+                    if has.any():
+                        hidx = np.flatnonzero(has)
+                        _, inv = np.unique(pid[pos_c[hidx]],
+                                           return_inverse=True)
+                        carr[hidx] = inv.astype(np.int32)
+                constraints.append(carr)
+
         levels_raw = agglomeration.agglomerate(
             hist, fh, fc, sizes, edges, r,
             min_region_num=opts.min_region_num,
             max_region_num=opts.max_region_num,
             cutoff_fraction=opts.level_cutoff_fraction,
             penalizer=opts.small_region_penalizer,
-            use_flow=self._has_flow and opts.use_flow)
+            use_flow=self._has_flow and opts.use_flow,
+            constraints=constraints)
         if not levels_raw:
             levels_raw = [np.arange(rcap, dtype=np.int32)]
 

@@ -84,8 +84,9 @@ def _label_min(labr, labc, v):
     b = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W, TILE_W), 2)
     ohc = labc[:, :, None] == b
     vb = jnp.where(ohc, v[:, :, None].astype(jnp.float32), 2.0 ** 31)
+    labr3 = labr[:, :, None]   # int32 minor-dim insertion (i1 unsupported)
     for a in range(TILE_H):
-        va = jnp.where((labr == a)[:, :, None], vb, 2.0 ** 31)
+        va = jnp.where(labr3 == a, vb, 2.0 ** 31)
         rows.append(jnp.min(va, axis=(0, 1))[None, :])
     return jnp.concatenate(rows, axis=0).astype(jnp.int32)
 
@@ -96,8 +97,9 @@ def _label_max(labr, labc, v):
     b = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W, TILE_W), 2)
     ohc = labc[:, :, None] == b
     vb = jnp.where(ohc, v[:, :, None], 0.0)
+    labr3 = labr[:, :, None]
     for a in range(TILE_H):
-        va = jnp.where((labr == a)[:, :, None], vb, 0.0)
+        va = jnp.where(labr3 == a, vb, 0.0)
         rows.append(jnp.max(va, axis=(0, 1))[None, :])
     return jnp.concatenate(rows, axis=0)
 
@@ -122,7 +124,13 @@ def _dist(a, b, metric):
 def _solve_subtile(color3, gy, gx, h, w, *, schedule, rounds_per_level,
                    merge_threshold, metric):
     """Full local solve of one (8,128) subtile.  Returns flat local root
-    label (8,128) int32 in [0,1024) and per-pixel fin flag (8,128) f32."""
+    label (8,128) int32 in [0,1024) and per-pixel fin flag (8,128) f32.
+
+    The level/round iteration runs as ONE lax.fori_loop body (merge round
+    or conditional level-end), keeping the Mosaic program small: iteration
+    i of n_levels*(rounds_per_level+1) decodes to level i//(R+1) and phase
+    i%(R+1); theta comes from a branch-free select over the static
+    schedule."""
     rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
     inb = (gy < h) & (gx < w)
@@ -144,60 +152,58 @@ def _solve_subtile(color3, gy, gx, h, w, *, schedule, rounds_per_level,
         buckets.append(bkt)
         valids.append(v)
 
-    labr = rows
-    labc = cols
-    fin_t = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    n_levels = len(schedule)
+    r_per = rounds_per_level
 
-    for theta in schedule:
-        for rnd in range(rounds_per_level):
-            ohr = _onehot_rows(labr)
-            ones = jnp.ones((TILE_H, TILE_W), jnp.float32)
-            size_t = _aggregate(ohr, labc, ones)
-            mean_t = [_aggregate(ohr, labc, ch)
-                      / jnp.maximum(size_t, 1.0) for ch in c]
-            mean_px = [_distribute(ohr, labc, m) for m in mean_t]
-            fin_px = _distribute(ohr, labc, fin_t)
-            lab_flat = labr * TILE_W + labc
-
-            best = jnp.full((TILE_H, TILE_W), _BIG, jnp.int32)
-            for k, (dy, dx) in enumerate(DIRS):
-                nb_mean = [_roll2(m, dy, dx) for m in mean_px]
-                nb_fin = _roll2(fin_px, dy, dx)
-                nb_lab = _roll2(lab_flat, dy, dx)
-                dd = _dist(mean_px, nb_mean, metric)
-                adm = (valids[k] & (buckets[k] <= theta)
-                       & (nb_lab != lab_flat)
-                       & (fin_px < 0.5) & (nb_fin < 0.5)
-                       & (dd < merge_threshold))
-                cand = (buckets[k] << 10) | nb_lab
-                best = jnp.minimum(best, jnp.where(adm, cand, _BIG))
-
-            best_t = _label_min(labr, labc, best)
-            partner = best_t & 1023
-            have = best_t < _BIG
-            own_flat = rows * TILE_W + cols       # table cell's own label id
-            up = (rnd % 2) == 0
-            hook = have & ((partner > own_flat) == up)
-            pa = jnp.where(hook, partner >> 7, rows)
-            pb = jnp.where(hook, partner & 127, cols)
-            # Parity hooking chains are monotone; 4 jumps resolve <=16 deep
-            # (tile diameter bounds real chain depth far below that).
-            for _ in range(4):
-                pa, pb = _compose(pa, pb)
-            ohr2 = _onehot_rows(labr)
-            labr = _distribute(ohr2, labc, pa.astype(jnp.float32)) \
-                .astype(jnp.int32)
-            labc = _distribute(ohr2, labc, pb.astype(jnp.float32)) \
-                .astype(jnp.int32)
-
-        # Level end: any failed merge test at weight <= theta finalizes
-        # both endpoint regions (segmentation_graph.h:399-402).
+    def region_views(labr, labc):
         ohr = _onehot_rows(labr)
         ones = jnp.ones((TILE_H, TILE_W), jnp.float32)
         size_t = _aggregate(ohr, labc, ones)
         mean_t = [_aggregate(ohr, labc, ch) / jnp.maximum(size_t, 1.0)
                   for ch in c]
         mean_px = [_distribute(ohr, labc, m) for m in mean_t]
+        return ohr, mean_px
+
+    def merge_round(labr, labc, fin_t, theta, rnd):
+        ohr, mean_px = region_views(labr, labc)
+        fin_px = _distribute(ohr, labc, fin_t)
+        lab_flat = labr * TILE_W + labc
+        best = jnp.full((TILE_H, TILE_W), _BIG, jnp.int32)
+        for k, (dy, dx) in enumerate(DIRS):
+            nb_mean = [_roll2(m, dy, dx) for m in mean_px]
+            nb_fin = _roll2(fin_px, dy, dx)
+            nb_lab = _roll2(lab_flat, dy, dx)
+            dd = _dist(mean_px, nb_mean, metric)
+            adm = (valids[k] & (buckets[k] <= theta)
+                   & (nb_lab != lab_flat)
+                   & (fin_px < 0.5) & (nb_fin < 0.5)
+                   & (dd < merge_threshold))
+            cand = (buckets[k] << 10) | nb_lab
+            best = jnp.minimum(best, jnp.where(adm, cand, _BIG))
+
+        best_t = _label_min(labr, labc, best)
+        partner = best_t & 1023
+        have = best_t < _BIG
+        own_flat = rows * TILE_W + cols           # table cell's own label id
+        up = (rnd % 2) == 0
+        hook = have & ((partner > own_flat) == up)
+        pa = jnp.where(hook, partner >> 7, rows)
+        pb = jnp.where(hook, partner & 127, cols)
+        # Parity hooking chains are monotone; 4 jumps resolve <=16 deep
+        # (tile diameter bounds real chain depth far below that).
+        for _ in range(4):
+            pa, pb = _compose(pa, pb)
+        ohr2 = _onehot_rows(labr)
+        labr = _distribute(ohr2, labc, pa.astype(jnp.float32)) \
+            .astype(jnp.int32)
+        labc = _distribute(ohr2, labc, pb.astype(jnp.float32)) \
+            .astype(jnp.int32)
+        return labr, labc, fin_t
+
+    def level_end(labr, labc, fin_t, theta, _rnd):
+        # Any failed merge test at weight <= theta finalizes both endpoint
+        # regions (segmentation_graph.h:399-402).
+        _, mean_px = region_views(labr, labc)
         lab_flat = labr * TILE_W + labc
         fail = jnp.zeros((TILE_H, TILE_W), jnp.float32)
         for k, (dy, dx) in enumerate(DIRS):
@@ -208,6 +214,21 @@ def _solve_subtile(color3, gy, gx, h, w, *, schedule, rounds_per_level,
                    & (nb_lab != lab_flat) & (dd >= merge_threshold))
             fail = jnp.maximum(fail, bad.astype(jnp.float32))
         fin_t = jnp.maximum(fin_t, _label_max(labr, labc, fail))
+        return labr, labc, fin_t
+
+    def body(i, carry):
+        labr, labc, fin_t = carry
+        level = i // (r_per + 1)
+        phase = i % (r_per + 1)
+        theta = jnp.int32(0)
+        for lv, th in enumerate(schedule):       # branch-free static lookup
+            theta = jnp.where(level == lv, jnp.int32(th), theta)
+        return jax.lax.cond(phase < r_per, merge_round, level_end,
+                            labr, labc, fin_t, theta, phase)
+
+    labr, labc, fin_t = jax.lax.fori_loop(
+        0, n_levels * (r_per + 1), body,
+        (rows, cols, jnp.zeros((TILE_H, TILE_W), jnp.float32)))
 
     fin_px = _distribute(_onehot_rows(labr), labc, fin_t)
     return labr * TILE_W + labc, fin_px
@@ -218,10 +239,9 @@ def _kernel(vol_ref, out_ref, fin_ref, *, h, w, band_h, schedule,
     t_idx = pl.program_id(0)
     y_idx = pl.program_id(1)
     x_idx = pl.program_id(2)
-    band = vol_ref[0]                       # (band_h, TILE_W, 3)
 
-    for s in range(band_h // TILE_H):
-        color3 = band[s * TILE_H:(s + 1) * TILE_H]
+    def sub_body(s, _):
+        color3 = vol_ref[0, pl.ds(s * TILE_H, TILE_H)]
         y0 = y_idx * band_h + s * TILE_H
         x0 = x_idx * TILE_W
         rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
@@ -235,10 +255,12 @@ def _kernel(vol_ref, out_ref, fin_ref, *, h, w, band_h, schedule,
         # local root -> global voxel id
         root_y = y0 + (lab >> 7)
         root_x = x0 + (lab & 127)
-        out_ref[0, s * TILE_H:(s + 1) * TILE_H] = \
+        out_ref[0, pl.ds(s * TILE_H, TILE_H)] = \
             t_idx * (h * w) + root_y * w + root_x
-        fin_ref[0, s * TILE_H:(s + 1) * TILE_H] = \
-            (fin > 0.5).astype(jnp.int32)
+        fin_ref[0, pl.ds(s * TILE_H, TILE_H)] = (fin > 0.5).astype(jnp.int32)
+        return 0
+
+    jax.lax.fori_loop(0, band_h // TILE_H, sub_body, 0)
 
 
 @functools.partial(jax.jit,
