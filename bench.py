@@ -4,12 +4,11 @@ Runs the flagship pipeline (decode -> presmooth -> dense over-segmentation
 -> hierarchical region segmentation -> .pb emission) on the reference's
 test clip and reports steady-state frames/sec.
 
-Baseline: the reference repository publishes no benchmark numbers
-(BASELINE.md); the only throughput figure encoded in-repo is the pipeline's
-20 fps processing cap (seg_tree_sample/seg_tree.cpp:345), which the C++
-implementation cannot sustain for full hierarchical segmentation on one
-core-decade CPU.  vs_baseline is therefore reported against that 20 fps
-cap as a conservative upper bound of the reference's throughput.
+Baseline: the reference repository publishes no numbers, so the
+baseline is MEASURED: the upstream C++ pipeline (built by
+tools/ref_harness/build.sh) runs full hierarchical segmentation of this
+clip at 4.06 fps on this machine's CPU (60 frames, flow off; see
+BENCH_NOTES.md round-2 section).  vs_baseline = our fps / 4.06.
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N}
@@ -23,7 +22,7 @@ import sys
 import time
 
 VIDEO = "/root/reference/video_example/test_video.MOV"
-BASELINE_FPS = 20.0  # seg_tree.cpp:345 pipeline cap
+BASELINE_FPS = 4.06  # measured: reference CPU pipeline, this clip, flow off
 
 
 def run_pipeline(frames, width, height, use_flow=False):
@@ -42,12 +41,22 @@ def run_pipeline(frames, width, height, use_flow=False):
 
     payload_bytes = 0
     n_out = 0
-    for i, fr in enumerate(frames):
-        fl = flow_eng.compute(fr, i) if flow_eng else None
+    def consume(i, fr, fl):
+        nonlocal payload_bytes, n_out
         rs.add_frame(i, fr, fl)
         for sf in rs.process_frames(False, ds.process_frame(False, fr, fl)):
             payload_bytes += len(emit.segframe_to_bytes(sf))
             n_out += 1
+
+    for i, fr in enumerate(frames):
+        if flow_eng is None:
+            consume(i, fr, None)
+        else:
+            for j, f2, fl in flow_eng.push(fr, i):
+                consume(j, f2, fl)
+    if flow_eng is not None:
+        for j, f2, fl in flow_eng.flush():
+            consume(j, f2, fl)
     for sf in rs.process_frames(True, ds.process_frame(True)):
         payload_bytes += len(emit.segframe_to_bytes(sf))
         n_out += 1

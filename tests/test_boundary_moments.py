@@ -46,8 +46,8 @@ def test_vectorization_roundtrip():
     lab[6:26, 6:26] = 5
     lab[12:18, 12:18] = 9
     ids, counts, ys, lxs, rxs = rle.frame_rle(lab)
-    mesh, polys = boundary.compute_vectorization(lab, ids, counts, ys, lxs,
-                                                 rxs)
+    from video_segment_tpu.segment_util import joint_boundary
+    mesh, polys = joint_boundary.compute_vectorization(lab)
     assert len(mesh) > 0
     assert len(polys[5]) >= 2  # outer + hole
     assert any(h for _, h in polys[5])
@@ -61,12 +61,12 @@ def test_vectorization_roundtrip():
     assert desc.rasterization_removed
     assert len(desc.region[0].raster.scan_inter) == 0
 
-    # Rebuild rasters from polygons; coverage should approximate original.
+    # Rebuild rasters from polygons: with jointly traced shared segments
+    # the axis-aligned test shapes round-trip EXACTLY (no crack filling).
     util.replace_rasterization_from_vectorization(desc)
     rebuilt = util.desc_to_id_image(desc)
-    inner = rebuilt[8:24, 8:24]
-    match = (rebuilt == lab).mean()
-    assert match > 0.93, f"raster/vector mismatch {match}"
+    assert (rebuilt == lab).all(), \
+        f"raster/vector mismatch {(rebuilt != lab).mean()}"
 
 
 def test_region_boundary_pixels():

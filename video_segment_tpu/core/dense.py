@@ -102,6 +102,17 @@ class DenseSegmentation:
             two_stage=options.two_stage_oversegment,
             force_merge_weight=0.002 if options.color_distance == "l1"
             else 0.001)
+        self._preseg_mode = options.preseg_mode
+        if self._preseg_mode == "auto":
+            import jax
+            self._preseg_mode = ("felz" if jax.default_backend() == "tpu"
+                                 else "flood")
+        if self._preseg_mode == "felz" and self._params.edge_table:
+            # The local pre-solve collapses pixels ~50x, so the region
+            # table can shrink accordingly (everything in the table phases
+            # scales with its size).
+            self._params = self._params._replace(
+                table_divisor=max(16, self._params.table_divisor))
 
         self._buffer: list[jnp.ndarray] = []   # smoothed (H,W,3) on device
         self._flow_buffer: list[np.ndarray] = []
@@ -167,15 +178,26 @@ class DenseSegmentation:
         # flooding; the merges are ones the reference performs
         # unconditionally, pixel_distance.h:487-491).
         tile_init = None
+        tile_fin = None
         if self.options.tile_presegment or self._params.edge_table:
-            from video_segment_tpu.ops import tile_preseg
-            # The edge-table solver needs pixels pre-collapsed far enough to
-            # fit its region table; the v1 solver only wants the merges the
-            # reference force-merge shortcut performs unconditionally.
-            thr = (self._params.preseg_threshold if self._params.edge_table
-                   else self._params.force_merge_weight)
-            tile_init = tile_preseg.tile_presegment(
-                vol, thr, self.options.color_distance)
+            if self._preseg_mode == "felz":
+                from video_segment_tpu.ops import tile_felz
+                tile_init, tile_fin = tile_felz.tile_felzenszwalb(
+                    vol, schedule=tuple(
+                        th for th in self._params.schedule if th < 2047),
+                    merge_threshold=self._params.merge_threshold,
+                    metric=self.options.color_distance)
+            else:
+                from video_segment_tpu.ops import tile_preseg
+                # The edge-table solver needs pixels pre-collapsed far
+                # enough to fit its region table; the v1 solver only wants
+                # the merges the reference force-merge shortcut performs
+                # unconditionally.
+                thr = (self._params.preseg_threshold
+                       if self._params.edge_table
+                       else self._params.force_merge_weight)
+                tile_init = tile_preseg.tile_presegment(
+                    vol, thr, self.options.color_distance)
 
         constraints = init_label = frozen = None
         cid_to_gid = np.zeros(0, np.int64)
@@ -209,6 +231,8 @@ class DenseSegmentation:
                 plane = jnp.arange(t_solve)[:, None, None]
                 init_label = jnp.where(plane < n_constrained, init_label,
                                        tile_init)
+                if tile_fin is not None:
+                    tile_fin = (plane >= n_constrained) & tile_fin
         elif tile_init is not None:
             init_label = tile_init
 
@@ -217,7 +241,7 @@ class DenseSegmentation:
         t_solve0 = time.monotonic()
         res = ov.oversegment(vol, flow=flow, constraints=constraints,
                              init_label=init_label, frozen=frozen,
-                             params=self._params)
+                             fin=tile_fin, params=self._params)
         labels = np.asarray(res.label)[:t]
         constr_all = np.asarray(res.constr)
         if os.environ.get("VST_TIMING"):

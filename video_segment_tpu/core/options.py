@@ -31,6 +31,11 @@ class DenseSegmentationOptions:
     # REQUIRES it (its region table is sized well below the pixel count);
     # dense.py forces it on when OversegParams.edge_table is set.
     tile_presegment: bool = True
+    # Preseg flavor: "felz" = full tile-local Felzenszwalb (ops/tile_felz,
+    # ~50x pixel collapse, TPU only — interpret mode is too slow for
+    # production shapes), "flood" = force-level tile flooding
+    # (ops/tile_preseg), "auto" = felz on TPU else flood.
+    preseg_mode: str = "auto"
     # Upper bound on voxels per solve; at large resolutions the chunk size
     # shrinks to stay under it (the attached TPU worker crashes near 19M
     # voxels; smaller chunks trade seam frequency for functioning 720p+).

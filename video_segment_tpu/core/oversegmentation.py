@@ -681,7 +681,7 @@ def _compact(state: SolverState, n_pix: int, r_cap: int):
 @functools.partial(
     jax.jit,
     static_argnames=("params", "has_flow", "has_constraints"))
-def _solve(vol, flow, init_label, constr_init, frozen_init,
+def _solve(vol, flow, init_label, constr_init, frozen_init, fin_init,
            params: OversegParams, has_flow: bool, has_constraints: bool):
     t, h, w, _ = vol.shape
     n_pix = t * h * w
@@ -695,8 +695,9 @@ def _solve(vol, flow, init_label, constr_init, frozen_init,
                                  num_segments=n_pix)
     frozen = jax.ops.segment_max(frozen_init.astype(jnp.int32), init_label,
                                  num_segments=n_pix) > 0
-    state = SolverState(init_label, csum, size, constr,
-                        jnp.zeros(n_pix, bool), frozen)
+    fin0 = jax.ops.segment_max(fin_init.astype(jnp.int32), init_label,
+                               num_segments=n_pix) > 0
+    state = SolverState(init_label, csum, size, constr, fin0, frozen)
 
     def run_rounds(state, theta, max_rounds, mode, n, sink,
                    use_temporal=True):
@@ -856,7 +857,7 @@ def _solve_edge_table(vol, state, params, fl, n_pix, thetas,
 
 
 def oversegment(vol, flow=None, constraints=None, init_label=None,
-                frozen=None,
+                frozen=None, fin=None,
                 params: OversegParams = OversegParams()) -> OversegResult:
     """Over-segment a chunk volume.
 
@@ -870,6 +871,8 @@ def oversegment(vol, flow=None, constraints=None, init_label=None,
       frozen: optional (T,H,W) bool — voxels of already-emitted geometry
         (the reference's virtual nodes); their regions keep constraints and
         always merge with their constraint group.
+      fin: optional (T,H,W) bool — pre-finalized regions (e.g. failed merge
+        tests recorded by the tile-local pre-solve).
       params: solver parameters.
 
     Returns OversegResult; `label` holds arbitrary root-voxel ids (compact
@@ -891,8 +894,12 @@ def oversegment(vol, flow=None, constraints=None, init_label=None,
         frozen_init = jnp.zeros(n, bool)
     else:
         frozen_init = frozen.reshape(n).astype(bool)
+    if fin is None:
+        fin_init = jnp.zeros(n, bool)
+    else:
+        fin_init = fin.reshape(n).astype(bool)
     has_flow = flow is not None
     if flow is None:
         flow = jnp.zeros((max(t - 1, 0), h, w, 2), jnp.float32)
-    return _solve(vol, flow, init_label, constr_init, frozen_init, params,
-                  has_flow, has_constraints)
+    return _solve(vol, flow, init_label, constr_init, frozen_init, fin_init,
+                  params, has_flow, has_constraints)

@@ -41,17 +41,41 @@ def _next_pow2(x: int) -> int:
     return 1 << max(4, (x - 1).bit_length())
 
 
-@functools.partial(jax.jit, static_argnames=("rcap", "color_bins",
-                                             "flow_bins", "use_flow"))
-def _accumulate_all(labels, lab_bins, fbin, fmag, rcap: int, color_bins: int,
-                    flow_bins: int, use_flow: bool):
+@functools.partial(jax.jit, static_argnames=("rcap", "lum_bins",
+                                             "color_bins", "flow_bins",
+                                             "use_flow"))
+def _accumulate_all(labels, lab_u8, fbin, fmag, rcap: int, lum_bins: int,
+                    color_bins: int, flow_bins: int, use_flow: bool):
     """One fused device call per chunk: color histogram + per-frame flow
-    histograms + per-frame vector counts (one upload, one dispatch)."""
+    histograms + per-frame vector counts (one upload, one dispatch).
+
+    Color adds are trilinearly interpolated over the (L,a,b) bin lattice,
+    exactly like the reference (histograms.cpp:142-199: bin coordinate
+    v/255*(bins-1), weight split across the 8 surrounding bins)."""
     tpad = labels.shape[0]
     lflat = labels.reshape(-1)
-    hist = jnp.zeros(rcap * color_bins, jnp.float32).at[
-        lflat * color_bins + lab_bins.reshape(-1).astype(jnp.int32)
-    ].add(1.0).reshape(rcap, color_bins)
+    nbins = lum_bins * color_bins * color_bins
+    lab = lab_u8.reshape(-1, 3).astype(jnp.float32)
+
+    def axis(vals, bins):
+        b = vals * ((bins - 1) / 255.0)
+        i0 = jnp.floor(b).astype(jnp.int32)
+        d = b - i0.astype(jnp.float32)
+        i1 = i0 + (d >= 1e-6)
+        return ((i0, 1.0 - d), (i1, d))
+
+    xs = axis(lab[:, 0], lum_bins)
+    ys = axis(lab[:, 1], color_bins)
+    zs = axis(lab[:, 2], color_bins)
+    hist = jnp.zeros(rcap * nbins, jnp.float32)
+    base = lflat * nbins
+    for xi, wx in xs:
+        for yi, wy in ys:
+            for zi, wz in zs:
+                hist = hist.at[
+                    base + (xi * color_bins + yi) * color_bins + zi
+                ].add(wx * wy * wz)
+    hist = hist.reshape(rcap, nbins)
     if not use_flow:
         z = jnp.zeros((0, rcap, flow_bins), jnp.float32)
         return hist, z, jnp.zeros((0, rcap), jnp.float32)
@@ -67,7 +91,7 @@ def _accumulate_all(labels, lab_bins, fbin, fmag, rcap: int, color_bins: int,
 
 @dataclasses.dataclass
 class _FrameFeatures:
-    lab_bins: np.ndarray          # (H,W) int16
+    lab_u8: np.ndarray            # (H,W,3) uint8 Lab
     flow_bin: np.ndarray | None   # (H,W) int8
     flow_mag: np.ndarray | None   # (H,W) float16
 
@@ -112,10 +136,6 @@ class RegionSegmentation:
         import cv2
 
         lab = cv2.cvtColor(frame_bgr_u8, cv2.COLOR_BGR2Lab)
-        lb, cb = self.options.luminance_bins, self.options.color_bins
-        bins = (((lab[..., 0].astype(np.int32) * lb) >> 8) * cb
-                + ((lab[..., 1].astype(np.int32) * cb) >> 8)) * cb \
-            + ((lab[..., 2].astype(np.int32) * cb) >> 8)
         fb = fm = None
         if flow is not None:
             self._has_flow = True
@@ -125,8 +145,7 @@ class RegionSegmentation:
             fb = np.clip((ang * self.options.flow_bins).astype(np.int32),
                          0, self.options.flow_bins - 1).astype(np.int8)
             fm = np.hypot(flow[..., 0], flow[..., 1]).astype(np.float16)
-        self._features[frame_index] = _FrameFeatures(
-            bins.astype(np.int16), fb, fm)
+        self._features[frame_index] = _FrameFeatures(lab, fb, fm)
 
     # -- dense results ingestion -----------------------------------------
 
@@ -175,7 +194,7 @@ class RegionSegmentation:
         tpad = _next_pow2(tc)
         h, w = self.frame_height, self.frame_width
         labels = np.full((tpad, h, w), rcap - 1, np.int32)
-        lab_bins = np.zeros((tpad, h, w), np.int16)
+        lab_u8 = np.zeros((tpad, h, w, 3), np.uint8)
         use_flow = self._has_flow
         fbin = np.zeros((tpad, h, w), np.int8) if use_flow else None
         fmag = np.zeros((tpad, h, w), np.float16) if use_flow else None
@@ -186,17 +205,18 @@ class RegionSegmentation:
                                          h, w)
             labels[i] = lab_img
             feat = self._features[sf.frame_index]
-            lab_bins[i] = feat.lab_bins
+            lab_u8[i] = feat.lab_u8
             if use_flow and feat.flow_bin is not None:
                 fbin[i] = feat.flow_bin
                 fmag[i] = feat.flow_mag
 
         hist, fh, fc = _accumulate_all(
-            jnp.asarray(labels), jnp.asarray(lab_bins),
+            jnp.asarray(labels), jnp.asarray(lab_u8),
             jnp.asarray(fbin) if use_flow else jnp.zeros((1, 1, 1), jnp.int8),
             jnp.asarray(fmag) if use_flow else
             jnp.zeros((1, 1, 1), jnp.float16),
-            rcap, self.num_color_bins, self.options.flow_bins, use_flow)
+            rcap, self.options.luminance_bins, self.options.color_bins,
+            self.options.flow_bins, use_flow)
         chunk.hist = np.asarray(hist[:rc], np.float32)
         if use_flow:
             chunk.flow_hist = np.asarray(fh[:tc, :rc], np.float32)

@@ -96,8 +96,8 @@ def segframe_to_bytes(sf, vectorize: bool = False,
     lab = util.rasterize_ids(sf.region_ids.astype(np.int64),
                              sf.interval_counts, intervals,
                              sf.frame_height, sf.frame_width)
-    mesh, polys = boundary.compute_vectorization(
-        lab, sf.region_ids, sf.interval_counts, sf.ys, sf.lxs, sf.rxs)
+    from video_segment_tpu.segment_util import joint_boundary
+    mesh, polys = joint_boundary.compute_vectorization(lab)
     desc = proto.SegmentationDesc()
     desc.ParseFromString(payload)
     if output_dims and (output_dims != (sf.frame_width, sf.frame_height)):

@@ -301,6 +301,8 @@ def tile_felzenszwalb(vol: jnp.ndarray,
                    pl.BlockSpec((1, band_h, TILE_W),
                                 lambda ti, yi, xi: (ti, yi, xi),
                                 memory_space=pltpu.VMEM)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=jax.default_backend() != "tpu",
     )(volp)
     out = out[:, :h, :w]

@@ -82,39 +82,23 @@ def rasterize_ids(draw_ids, counts, intervals, h, w) -> np.ndarray:
 def replace_rasterization_from_vectorization(desc) -> None:
     """Rebuild per-region RLE rasters from polygon vectorizations in place
     (ReplaceRasterizationFromVectorization, segmentation_util.cpp:1238) —
-    used by consumers of rasterization-stripped streams."""
-    import cv2
+    used by consumers of rasterization-stripped streams.
+
+    Polygons are in corner space [0,W]x[0,H] (boundary.h:41-43) and come
+    from jointly traced shared segments, so even-odd rasterization
+    partitions the frame exactly — no crack-filling pass is needed."""
+    from video_segment_tpu.segment_util import joint_boundary
 
     coords = np.asarray(desc.vector_mesh.coord, np.float32)
     h, w = desc.frame_height, desc.frame_width
-    # Paint every region into one label image first: per-region contours
-    # (especially after upscaling) can leave hairline cracks between
-    # neighbors, which are filled from the nearest region below.
-    lab = np.full((h, w), -1, np.int64)
+    poly_sets = []
     for r in desc.region:
-        mask = np.zeros((h, w), np.uint8)
-        outers = []
-        holes = []
+        rings = []
         for poly in r.vectorization.polygon:
             idx = np.asarray(poly.coord_idx, np.int64)
-            pts = np.stack([coords[idx], coords[idx + 1]],
-                           axis=1).astype(np.int32)
-            (holes if poly.hole else outers).append(pts)
-        if outers:
-            cv2.fillPoly(mask, outers, 1)
-        if holes:
-            cv2.fillPoly(mask, holes, 0)
-        lab[mask > 0] = r.id
-
-    # Fill cracks by iterative N4 adoption.
-    for _ in range(8):
-        un = lab < 0
-        if not un.any():
-            break
-        for shifted in (np.roll(lab, 1, 0), np.roll(lab, -1, 0),
-                        np.roll(lab, 1, 1), np.roll(lab, -1, 1)):
-            take = un & (lab < 0) & (shifted >= 0)
-            lab[take] = shifted[take]
+            rings.append(np.stack([coords[idx], coords[idx + 1]], axis=1))
+        poly_sets.append((r.id, rings))
+    lab = joint_boundary.rasterize_polygons(h, w, poly_sets)
 
     for r in desc.region:
         r.ClearField("raster")
