@@ -148,3 +148,46 @@ def test_region_sizes_match():
     size = np.asarray(res.size)
     assert size[lab[0, 0]] == h * w // 2
     assert size[lab[0, -1]] == h * w // 2
+
+
+def test_color_mean_variance_trait_adaptive_gating():
+    """Bhattacharyya trait (pixel_distance.h:566-638): the same mean gap
+    merges under high variance (z-score small) but not under low variance.
+    Regions are pre-seeded via init_label so variances are established
+    (single pixels start at zero variance, like the reference's
+    InitializeDescriptor)."""
+    rng = np.random.default_rng(3)
+    h, w = 16, 32
+    init = np.zeros((1, h, w), np.int32)
+    init[:, :, w // 2:] = w // 2  # two halves, canonical member voxels
+
+    def run(noise_sigma):
+        vol = np.zeros((1, h, w, 3), np.float32)
+        vol[:, :, : w // 2] = 0.45
+        vol[:, :, w // 2:] = 0.55
+        vol += rng.normal(0, noise_sigma, vol.shape).astype(np.float32)
+        vol = np.clip(vol, 0.0, 1.0)
+        p = ov.OversegParams(min_region_size=1,
+                             descriptor="color_mean_variance",
+                             merge_threshold=0.1, split_threshold=0.75,
+                             schedule=(64, 512, 2047))
+        res = ov.oversegment(jnp.asarray(vol), init_label=jnp.asarray(init),
+                             params=p)
+        return len(np.unique(_labels_np(res)))
+
+    # d = |dmean| / sqrt(pooled var) * 0.2: sigma 0.6 -> ~0.08 (merges),
+    # sigma 0.03 -> ~0.5 (stays split).
+    assert run(0.6) == 1
+    assert run(0.03) == 2
+
+
+def test_variance_trait_formula_oracle():
+    import video_segment_tpu.core.oversegmentation as o
+    mean_a = jnp.asarray([[0.5, 0.5, 0.5]])
+    mean_b = jnp.asarray([[0.6, 0.5, 0.5]])
+    var = jnp.asarray([[0.04, 0.04, 0.04]])
+    p = ov.OversegParams(descriptor="color_mean_variance")
+    d = np.asarray(o._trait_distance(mean_a, var, mean_b, var,
+                                     jnp.zeros(1, jnp.int32), p))
+    want = min(1.0, np.sqrt(0.01 / 0.04) * 0.2)
+    np.testing.assert_allclose(d[0], want, atol=1e-6)

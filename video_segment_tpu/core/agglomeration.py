@@ -45,6 +45,8 @@ class AggloState(NamedTuple):
     flow_hist: jnp.ndarray  # (T,R,FB)
     flow_cnt: jnp.ndarray   # (T,R)
     sizes: jnp.ndarray      # (R,) f32
+    win_hist: jnp.ndarray   # (NW,R,B) windowed appearance (NW=0: unused)
+    win_cnt: jnp.ndarray    # (NW,R)
 
 
 def _eval_distances(state: AggloState, edges, evalid, inv_median, use_flow,
@@ -52,7 +54,13 @@ def _eval_distances(state: AggloState, edges, evalid, inv_median, use_flow,
     ra = state.label[edges[:, 0]]
     rb = state.label[edges[:, 1]]
     pairs = jnp.stack([ra, rb], axis=1)
-    color_d = hops.edge_color_distance(state.hist, pairs)
+    if state.win_hist.shape[0] > 0:
+        # WindowedAppearanceDescriptor replaces the single-histogram
+        # appearance distance (region_descriptor.cpp:207-276).
+        color_d = hops.edge_color_distance_windowed(state.win_hist,
+                                                    state.win_cnt, pairs)
+    else:
+        color_d = hops.edge_color_distance(state.hist, pairs)
     if state.flow_hist.shape[0] > 0:
         flow_d = hops.edge_flow_distance(state.flow_hist, state.flow_cnt,
                                          pairs)
@@ -99,9 +107,13 @@ def _merge_subround(state: AggloState, edges, d, budget, up):
     fc = jax.vmap(lambda x: jax.ops.segment_sum(x, root, num_segments=r),
                   in_axes=0, out_axes=0)(state.flow_cnt)
     sizes = jax.ops.segment_sum(state.sizes, root, num_segments=r)
+    wh = jax.vmap(lambda x: jax.ops.segment_sum(x, root, num_segments=r),
+                  in_axes=0, out_axes=0)(state.win_hist)
+    wc2 = jax.vmap(lambda x: jax.ops.segment_sum(x, root, num_segments=r),
+                   in_axes=0, out_axes=0)(state.win_cnt)
     label = root[state.label]
     moved = jnp.sum(root != slots)
-    return AggloState(label, hist, fh, fc, sizes), moved
+    return AggloState(label, hist, fh, fc, sizes, wh, wc2), moved
 
 
 def _force_constraints(state: AggloState, constr):
@@ -132,7 +144,11 @@ def _force_constraints(state: AggloState, constr):
     fc = jax.vmap(lambda x: jax.ops.segment_sum(x, root2, num_segments=r),
                   in_axes=0, out_axes=0)(state.flow_cnt)
     sizes = jax.ops.segment_sum(state.sizes, root2, num_segments=r)
-    return AggloState(root2[state.label], hist, fh, fc, sizes)
+    wh = jax.vmap(lambda x: jax.ops.segment_sum(x, root2, num_segments=r),
+                  in_axes=0, out_axes=0)(state.win_hist)
+    wc2 = jax.vmap(lambda x: jax.ops.segment_sum(x, root2, num_segments=r),
+                   in_axes=0, out_axes=0)(state.win_cnt)
+    return AggloState(root2[state.label], hist, fh, fc, sizes, wh, wc2)
 
 
 @functools.partial(jax.jit, static_argnames=("max_subrounds",))
@@ -189,7 +205,7 @@ def agglomerate(hist, flow_hist, flow_cnt, sizes, edges, num_regions: int,
                 *, min_region_num: int = 10, max_region_num: int = 10000,
                 cutoff_fraction: float = 0.8, penalizer: float = 0.25,
                 use_flow: bool = True, max_subrounds: int = 6,
-                constraints=None):
+                constraints=None, win_hist=None, win_cnt=None):
     """Run the full level loop; returns list of per-level (R,) root arrays.
 
     Regions with index >= num_regions must be padding (zero stats); their
@@ -202,9 +218,13 @@ def agglomerate(hist, flow_hist, flow_cnt, sizes, edges, num_regions: int,
     (region_segmentation.cpp:143-197).
     """
     r = hist.shape[0]
+    if win_hist is None:
+        win_hist = np.zeros((0, r, hist.shape[1]), np.float32)
+        win_cnt = np.zeros((0, r), np.float32)
     state = AggloState(jnp.arange(r, dtype=jnp.int32), jnp.asarray(hist),
                        jnp.asarray(flow_hist), jnp.asarray(flow_cnt),
-                       jnp.asarray(sizes, jnp.float32))
+                       jnp.asarray(sizes, jnp.float32),
+                       jnp.asarray(win_hist), jnp.asarray(win_cnt))
     edges = jnp.asarray(edges, jnp.int32)
     evalid = jnp.ones(edges.shape[0], bool) if edges.size else \
         jnp.zeros(0, bool)

@@ -72,6 +72,14 @@ class RegionSegmentationOptions:
     use_flow: bool = True
     use_size_penalizer: bool = True
     compute_vectorization: bool = True
+    # Gain-calibrated windowed appearance histograms
+    # (WindowedAppearanceDescriptor, region_descriptor.h:262-316): one
+    # histogram per `appearance_window_size`-frame window, pixels rescaled
+    # by anchor/frame Lab mean gain; distances search windows +/-1.
+    # 0 = single histogram per region (the reference's own default).
+    # Memory scales with windows x regions x bins — intended for coarse
+    # windows (>= chunk_size / 2).
+    appearance_window_size: int = 0
 
 
 @dataclasses.dataclass

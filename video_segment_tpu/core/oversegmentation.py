@@ -79,6 +79,11 @@ class OversegParams(NamedTuple):
     # Static bound on distinct constraint ids per solve (keeps the compiled
     # program independent of the actual count, avoiding per-chunk recompiles).
     max_constraints: int = 1 << 16
+    # Region descriptor trait for the merge gate: "color_mean" (L1/L2 on
+    # means, pixel_distance.h:469-521) or "color_mean_variance"
+    # (Bhattacharyya z-score on means over pooled variance,
+    # pixel_distance.h:566-638; pair with thresholds 0.1/0.75).
+    descriptor: str = "color_mean"
     # Ascending bucket thresholds; each runs Boruvka rounds to a fixed point.
     schedule: tuple = (4, 32, 192, 1024, 2047)
     max_rounds_per_level: int = 5
@@ -118,6 +123,7 @@ class SolverState(NamedTuple):
     fin: jnp.ndarray     # (N,)  bool: merge test failed (finalized)
     frozen: jnp.ndarray  # (N,)  bool: virtual-node role (emitted geometry;
                          # constraint never reset, merged with group at end)
+    sqsum: jnp.ndarray   # (N,3) f32: color square sums (variance trait)
 
 
 class OversegResult(NamedTuple):
@@ -309,6 +315,22 @@ def _desc_distance(own_mean, nb_mean, bucket, p: OversegParams):
     return jnp.where(force, 0.0, d)
 
 
+def _trait_distance(mean_a, var_a, mean_b, var_b, bucket, p: OversegParams):
+    """Descriptor-trait merge distance.
+
+    color_mean: L1/L2 on means with the force-merge shortcut
+    (pixel_distance.h:469-521).  color_mean_variance: Bhattacharyya-style
+    z-score of the mean difference over the pooled per-channel variance,
+    scaled by 0.2 and clamped to 1 (pixel_distance.h:571-587; no force
+    shortcut — the reference only instantiates it for the mean traits)."""
+    if p.descriptor == "color_mean_variance":
+        mv = jnp.maximum(1e-4, 0.5 * (var_a + var_b))
+        diff = mean_a - mean_b
+        d = jnp.sqrt(jnp.sum(diff * diff / mv, axis=-1)) * 0.2
+        return jnp.minimum(d, 1.0)
+    return _desc_distance(mean_a, mean_b, bucket, p)
+
+
 def _select_partners(best_bucket, best_partner, label_flat, n):
     """Region-level Boruvka selection from per-pixel (bucket, partner) bests:
     two int32 segment-mins (min bucket, then min partner at that bucket —
@@ -342,14 +364,14 @@ def _apply_merge(state: SolverState, partner, n, up=None):
     stats = jnp.concatenate(
         [state.csum, state.size[:, None],
          state.fin.astype(jnp.float32)[:, None],
-         state.frozen.astype(jnp.float32)[:, None]], axis=1)
+         state.frozen.astype(jnp.float32)[:, None], state.sqsum], axis=1)
     stats = jax.ops.segment_sum(stats, root, num_segments=n)
     constr = jax.ops.segment_max(state.constr, root, num_segments=n)
     label = root[state.label]
     moved = jnp.sum(root != slots)
     return SolverState(label, stats[:, 0:3], stats[:, 3], constr,
-                       stats[:, 4] > 0, stats[:, 5] > 0), moved, \
-        jnp.sum(have)
+                       stats[:, 4] > 0, stats[:, 5] > 0,
+                       stats[:, 6:9]), moved, jnp.sum(have)
 
 
 def _round(state: SolverState, vol, flow, theta, up, mode, n, sink,
@@ -523,9 +545,11 @@ def _table_round(ts: SolverState, ptn, pbk, theta, up, mode, nseg, sink,
     root = ts.label
     k = ptn.shape[1]
     mean = ts.csum / jnp.maximum(ts.size, 1.0)[:, None]
+    var = ts.sqsum / jnp.maximum(ts.size, 1.0)[:, None] - mean * mean
 
     own = root                                   # (nseg,) current root of slot
     own_mean = mean[own]
+    own_var = var[own]
     own_size = ts.size[own]
     own_constr = ts.constr[own]
     own_fin = ts.fin[own]
@@ -533,15 +557,14 @@ def _table_round(ts: SolverState, ptn, pbk, theta, up, mode, nseg, sink,
     ptn_c = jnp.minimum(ptn, nseg - 1)
     a2 = root[ptn_c]                             # (nseg,K) partner roots
     nb_mean = mean[a2]
+    nb_var = var[a2]
     nb_constr = ts.constr[a2]
     nb_fin = ts.fin[a2]
 
     live = (ptn < _I32MAX) & (a2 != own[:, None]) \
         & (own[:, None] != sink) & (a2 != sink)
-    w_eff = pbk.astype(jnp.float32) * (1.0 / NUM_BUCKETS)
-    dd = _dist(own_mean[:, None, :], nb_mean, p.metric)
-    force = (w_eff < p.force_merge_weight) & (dd < 0.2)
-    dd = jnp.where(force, 0.0, dd)
+    dd = _trait_distance(own_mean[:, None, :], own_var[:, None, :],
+                         nb_mean, nb_var, pbk, p)
 
     either_free = (own_constr[:, None] < 0) | (nb_constr < 0)
     regular = (either_free & ~own_fin[:, None] & ~nb_fin
@@ -570,8 +593,10 @@ def _table_level_end(ts: SolverState, tab, theta, nseg, sink,
     side of an edge gets flagged from its own anchor)."""
     root = ts.label
     mean = ts.csum / jnp.maximum(ts.size, 1.0)[:, None]
+    var = ts.sqsum / jnp.maximum(ts.size, 1.0)[:, None] - mean * mean
     own = root
     own_mean = mean[own]
+    own_var = var[own]
     own_size = ts.size[own]
     own_constr = ts.constr[own]
     own_fin = ts.fin[own]
@@ -582,6 +607,7 @@ def _table_level_end(ts: SolverState, tab, theta, nseg, sink,
     bkt = jnp.where(pk < _I32MAX, pk >> _PARTNER_BITS, NUM_BUCKETS)
     a2 = root[ptn]
     nb_mean = mean[a2]
+    nb_var = var[a2]
     nb_constr = ts.constr[a2]
     nb_fin = ts.fin[a2]
     nb_size = ts.size[a2]
@@ -589,10 +615,8 @@ def _table_level_end(ts: SolverState, tab, theta, nseg, sink,
     live = (pk < _I32MAX) & (a2 != own[:, None]) \
         & (own[:, None] != sink) & (a2 != sink)
     act = live & (bkt <= theta)
-    w_eff = bkt.astype(jnp.float32) * (1.0 / NUM_BUCKETS)
-    dd = _dist(own_mean[:, None, :], nb_mean, p.metric)
-    force = (w_eff < p.force_merge_weight) & (dd < 0.2)
-    dd = jnp.where(force, 0.0, dd)
+    dd = _trait_distance(own_mean[:, None, :], own_var[:, None, :],
+                         nb_mean, nb_var, bkt, p)
 
     either_free = (own_constr[:, None] < 0) | (nb_constr < 0)
     fail = (act & either_free & ~own_fin[:, None] & ~nb_fin
@@ -636,7 +660,13 @@ def _merge_constrained(state: SolverState, num_constraints: int, n: int,
     target = rep[jnp.clip(state.constr, 0, num_constraints - 1)]
     active = (cid < num_constraints) & (target != slots)
     mean = state.csum / jnp.maximum(state.size, 1.0)[:, None]
-    d = _dist(mean, mean[target], p.metric)
+    if p.descriptor == "color_mean_variance":
+        var = (state.sqsum / jnp.maximum(state.size, 1.0)[:, None]
+               - mean * mean)
+        d = _trait_distance(mean, var, mean[target], var[target],
+                            jnp.zeros(n, jnp.int32) + NUM_BUCKETS, p)
+    else:
+        d = _dist(mean, mean[target], p.metric)
     merge = active & (state.frozen | (d <= p.split_threshold))
     uncon = active & ~merge & ~state.frozen
 
@@ -662,6 +692,7 @@ def _compact(state: SolverState, n_pix: int, r_cap: int):
 
     nseg = r_cap + 1
     csum = jax.ops.segment_sum(state.csum, cidx, num_segments=nseg)
+    sqsum = jax.ops.segment_sum(state.sqsum, cidx, num_segments=nseg)
     size = jax.ops.segment_sum(jnp.where(is_root, state.size, 0.0), cidx,
                                num_segments=nseg)
     constr = jax.ops.segment_max(
@@ -674,7 +705,7 @@ def _compact(state: SolverState, n_pix: int, r_cap: int):
     # Sink must never merge: mark finalized with no constraint.
     fin = fin.at[r_cap].set(True)
     constr = constr.at[r_cap].set(-1)
-    cstate = SolverState(clabel, csum, size, constr, fin, frozen)
+    cstate = SolverState(clabel, csum, size, constr, fin, frozen, sqsum)
     return cstate, state.label
 
 
@@ -697,7 +728,11 @@ def _solve(vol, flow, init_label, constr_init, frozen_init, fin_init,
                                  num_segments=n_pix) > 0
     fin0 = jax.ops.segment_max(fin_init.astype(jnp.int32), init_label,
                                num_segments=n_pix) > 0
-    state = SolverState(init_label, csum, size, constr, fin0, frozen)
+    volf = vol.reshape(n_pix, 3)
+    sqsum = jax.ops.segment_sum(volf * volf, init_label,
+                                num_segments=n_pix)
+    state = SolverState(init_label, csum, size, constr, fin0, frozen,
+                        sqsum)
 
     def run_rounds(state, theta, max_rounds, mode, n, sink,
                    use_temporal=True):
@@ -803,7 +838,8 @@ def _solve_edge_table(vol, state, params, fl, n_pix, thetas,
     state, orig_label = _compact(state, n_pix, r_cap)
     memb = state.label                        # (N,) pixel -> table slot
     ts = SolverState(jnp.arange(nseg, dtype=jnp.int32), state.csum,
-                     state.size, state.constr, state.fin, state.frozen)
+                     state.size, state.constr, state.fin, state.frozen,
+                     state.sqsum)
 
     tab = _extract_edges(memb.reshape(t, h, w), vol, fl, nseg, sink, params)
     ptn, pbk = _topk_edges(tab, params.edge_topk)
@@ -898,6 +934,9 @@ def oversegment(vol, flow=None, constraints=None, init_label=None,
         fin_init = jnp.zeros(n, bool)
     else:
         fin_init = fin.reshape(n).astype(bool)
+    if params.descriptor != "color_mean" and not params.edge_table:
+        raise ValueError("descriptor traits other than color_mean require "
+                         "the edge-table solver (edge_table=True)")
     has_flow = flow is not None
     if flow is None:
         flow = jnp.zeros((max(t - 1, 0), h, w, 2), jnp.float32)

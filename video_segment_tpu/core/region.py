@@ -89,11 +89,48 @@ def _accumulate_all(labels, lab_u8, fbin, fmag, rcap: int, lum_bins: int,
             fc.reshape(tpad, rcap))
 
 
+@functools.partial(jax.jit, static_argnames=("rcap", "wcap", "lum_bins",
+                                             "color_bins"))
+def _accumulate_windowed(labels, lab_u8, gains, win_slot, rcap: int,
+                         wcap: int, lum_bins: int, color_bins: int):
+    """Per-window gain-calibrated color histograms
+    (WindowedAppearanceDescriptor, region_descriptor.cpp:149-205): pixel
+    Lab values are scaled by the window's anchor/frame mean gain, clamped
+    to 255, and added with trilinear interpolation into a
+    (window, region, bin) table.  Returns ((wcap,rcap,B), (wcap,rcap))."""
+    nbins = lum_bins * color_bins * color_bins
+    lab = jnp.minimum(lab_u8.astype(jnp.float32)
+                      * gains[:, None, None, :], 255.0).reshape(-1, 3)
+    key = (win_slot[:, None, None] * rcap + labels).reshape(-1)
+
+    def axis(vals, bins):
+        b = vals * ((bins - 1) / 255.0)
+        i0 = jnp.floor(b).astype(jnp.int32)
+        d = b - i0.astype(jnp.float32)
+        i1 = i0 + (d >= 1e-6)
+        return ((i0, 1.0 - d), (i1, d))
+
+    xs = axis(lab[:, 0], lum_bins)
+    ys = axis(lab[:, 1], color_bins)
+    zs = axis(lab[:, 2], color_bins)
+    hist = jnp.zeros(wcap * rcap * nbins, jnp.float32)
+    base = key * nbins
+    for xi, wx in xs:
+        for yi, wy in ys:
+            for zi, wz in zs:
+                hist = hist.at[
+                    base + (xi * color_bins + yi) * color_bins + zi
+                ].add(wx * wy * wz)
+    cnt = jnp.zeros(wcap * rcap, jnp.float32).at[key].add(1.0)
+    return hist.reshape(wcap, rcap, nbins), cnt.reshape(wcap, rcap)
+
+
 @dataclasses.dataclass
 class _FrameFeatures:
     lab_u8: np.ndarray            # (H,W,3) uint8 Lab
     flow_bin: np.ndarray | None   # (H,W) int8
     flow_mag: np.ndarray | None   # (H,W) float16
+    lab_mean: np.ndarray | None = None  # (3,) float32 frame Lab mean
 
 
 @dataclasses.dataclass
@@ -107,6 +144,9 @@ class _ChunkData:
     hist: np.ndarray | None = None       # (Rc, B) float32 host cache
     flow_hist: np.ndarray | None = None  # (Tc, Rc, FB) float32
     flow_cnt: np.ndarray | None = None   # (Tc, Rc) float32
+    win_ids: np.ndarray | None = None    # (Wc,) global window indices
+    win_hist: np.ndarray | None = None   # (Wc, Rc, B) float32
+    win_cnt: np.ndarray | None = None    # (Wc, Rc) float32
 
 
 class RegionSegmentation:
@@ -122,6 +162,10 @@ class RegionSegmentation:
         self._open_frames: list = []      # SegFrames of the not-yet-closed chunk
         self._set_id = 0
         self._has_flow = False
+        # First-frame Lab mean per appearance window (gain anchors) and
+        # per-frame Lab means for gain computation.
+        self._window_anchor: dict[int, np.ndarray] = {}
+        self._frame_means: dict[int, np.ndarray] = {}
         # Per-level (gids, ids) of the previous set's overlap chunks.
         self._prev_assign: list = []
 
@@ -145,7 +189,12 @@ class RegionSegmentation:
             fb = np.clip((ang * self.options.flow_bins).astype(np.int32),
                          0, self.options.flow_bins - 1).astype(np.int8)
             fm = np.hypot(flow[..., 0], flow[..., 1]).astype(np.float16)
-        self._features[frame_index] = _FrameFeatures(lab, fb, fm)
+        mean = lab.reshape(-1, 3).mean(axis=0).astype(np.float32)
+        self._features[frame_index] = _FrameFeatures(lab, fb, fm, mean)
+        self._frame_means[frame_index] = mean
+        w = self.options.appearance_window_size
+        if w > 0:
+            self._window_anchor.setdefault(frame_index // w, mean)
 
     # -- dense results ingestion -----------------------------------------
 
@@ -222,9 +271,31 @@ class RegionSegmentation:
             chunk.flow_hist = np.asarray(fh[:tc, :rc], np.float32)
             chunk.flow_cnt = np.asarray(fc[:tc, :rc], np.float32)
 
+        wsz = self.options.appearance_window_size
+        if wsz > 0:
+            wins = sorted({sf.frame_index // wsz for sf in chunk.frames})
+            wcap = len(wins) + 1
+            slot_of = {g: i for i, g in enumerate(wins)}
+            win_slot = np.full(tpad, wcap - 1, np.int32)
+            gains = np.ones((tpad, 3), np.float32)
+            for i, sf in enumerate(chunk.frames):
+                feat_mean = self._frame_means[sf.frame_index]
+                g = sf.frame_index // wsz
+                win_slot[i] = slot_of[g]
+                anchor = self._window_anchor.get(g, feat_mean)
+                gains[i] = anchor / (feat_mean + 1e-3)
+            wh, wc = _accumulate_windowed(
+                jnp.asarray(labels), jnp.asarray(lab_u8),
+                jnp.asarray(gains), jnp.asarray(win_slot), rcap, wcap,
+                self.options.luminance_bins, self.options.color_bins)
+            chunk.win_ids = np.asarray(wins, np.int64)
+            chunk.win_hist = np.asarray(wh[:len(wins), :rc], np.float32)
+            chunk.win_cnt = np.asarray(wc[:len(wins), :rc], np.float32)
+
         # Features for these frames are no longer needed.
         for sf in chunk.frames:
             self._features.pop(sf.frame_index, None)
+            self._frame_means.pop(sf.frame_index, None)
 
     # -- chunk-set processing ---------------------------------------------
 
@@ -258,6 +329,19 @@ class RegionSegmentation:
         fc = np.zeros((tcap, rcap), np.float32) if self._has_flow else \
             np.zeros((0, rcap), np.float32)
 
+        wsz = self.options.appearance_window_size
+        if wsz > 0:
+            all_wins = sorted({int(wid) for c in chunks
+                               for wid in (c.win_ids if c.win_ids is not None
+                                           else [])})
+            whist = np.zeros((len(all_wins), rcap, self.num_color_bins),
+                             np.float32)
+            wcnt = np.zeros((len(all_wins), rcap), np.float32)
+        else:
+            all_wins = []
+            whist = np.zeros((0, rcap, self.num_color_bins), np.float32)
+            wcnt = np.zeros((0, rcap), np.float32)
+
         pair_list = []
         t_off = 0
         for c in chunks:
@@ -271,6 +355,11 @@ class RegionSegmentation:
                 fh[t_off:t_off + tc, idx] = c.flow_hist.astype(np.float32)
                 fc[t_off:t_off + tc, idx] = c.flow_cnt
                 t_off += tc
+            if wsz > 0 and c.win_hist is not None:
+                for wi, wid in enumerate(c.win_ids):
+                    slot = all_wins.index(int(wid))
+                    whist[slot][idx] += c.win_hist[wi]
+                    wcnt[slot][idx] += c.win_cnt[wi]
             if len(c.neighbor_pairs):
                 pair_list.append(
                     np.searchsorted(all_gids, c.neighbor_pairs))
@@ -309,7 +398,7 @@ class RegionSegmentation:
             cutoff_fraction=opts.level_cutoff_fraction,
             penalizer=opts.small_region_penalizer,
             use_flow=self._has_flow and opts.use_flow,
-            constraints=constraints)
+            constraints=constraints, win_hist=whist, win_cnt=wcnt)
         if not levels_raw:
             levels_raw = [np.arange(rcap, dtype=np.int32)]
 

@@ -102,6 +102,13 @@ class VideoReader:
         """Synthetic pts in 1/fps units scaled to a 1000-tick base."""
         return int(round(frame_idx * 1000.0 / self.info.fps))
 
+    def seek(self, frame_idx: int) -> None:
+        """Position the stream so the next read returns `frame_idx`
+        (checkpoint resume; the reference reader seeks via
+        av_seek_frame + nonkey skip, video_reader_unit.cpp:401-443)."""
+        self._cap.set(cv2.CAP_PROP_POS_FRAMES, frame_idx)
+        self._read = frame_idx
+
     def close(self):
         self._cap.release()
 

@@ -19,9 +19,9 @@ Formulas (reference):
   penalizer min(1, 1 + p*log2(min_size/median_size)), clamped to [0,1]
   (region_descriptor.h:195-230, region_descriptor.cpp:377-383).
 
-Note: the reference fills color histograms with trilinear interpolation
-(AddPixelInterpolated); we use plain binning — a quality-neutral
-simplification under chi^2 at 10x20x20 resolution.
+Color histograms are filled with trilinear interpolated adds on the
+accumulation side (core/region.py `_accumulate_all`), matching the
+reference's AddPixelInterpolated.
 """
 
 from __future__ import annotations
@@ -121,6 +121,54 @@ def edge_flow_distance(flow_hist: jnp.ndarray, flow_cnt: jnp.ndarray,
         ws = jnp.sum(w, axis=1)
         return jnp.where(ws > 0, jnp.sum(d * w, axis=1) / jnp.maximum(ws, 1.0),
                          0.0)
+
+    out = jax.lax.map(body, ep.reshape(-1, batch, 2))
+    return out.reshape(-1)[:e]
+
+
+def edge_color_distance_windowed(whist: jnp.ndarray, wcnt: jnp.ndarray,
+                                 edges: jnp.ndarray,
+                                 batch: int = 4096) -> jnp.ndarray:
+    """WindowedAppearanceDescriptor distance for (E,2) region pairs.
+
+    whist: (NW, R, B) per-window gain-calibrated color histograms;
+    wcnt:  (NW, R) sample counts (weight sums before normalization).
+    Per window w of the lhs, the rhs is searched over w +/- 1 (the
+    reference's compare_radius_ = 1) and the minimum chi^2 wins; window
+    contributions are weighted by min(weight_lhs, weight_rhs) and averaged
+    (region_descriptor.cpp:207-276).  Compare-time gain rescaling
+    (ScaleHistogram when gain deviates >1.1x) is not re-applied; the
+    accumulate-time calibration covers the common case.
+    """
+    e = edges.shape[0]
+    nw = whist.shape[0]
+    pad = (-e) % batch
+    ep = jnp.pad(edges, ((0, pad), (0, 0)))
+    wh = jnp.swapaxes(whist, 0, 1)   # (R, NW, B)
+    wc = jnp.swapaxes(wcnt, 0, 1)    # (R, NW)
+
+    def body(chunk):
+        ha = normalize_l1(wh[chunk[:, 0]])           # (b, NW, B)
+        hb = normalize_l1(wh[chunk[:, 1]])
+        wa = wc[chunk[:, 0]]                         # (b, NW)
+        wb = wc[chunk[:, 1]]
+        dist_sum = jnp.zeros(chunk.shape[0], jnp.float32)
+        weight_sum = jnp.zeros(chunk.shape[0], jnp.float32)
+        for w in range(nw):
+            best_d = jnp.full(chunk.shape[0], jnp.inf, jnp.float32)
+            best_w = jnp.zeros(chunk.shape[0], jnp.float32)
+            for m in range(max(w - 1, 0), min(w + 2, nw)):
+                ok = (wa[:, w] > 0) & (wb[:, m] > 0)
+                d = chi_square(ha[:, w], hb[:, m])
+                wgt = jnp.minimum(wa[:, w], wb[:, m])
+                take = ok & (d < best_d)
+                best_d = jnp.where(take, d, best_d)
+                best_w = jnp.where(take, wgt, best_w)
+            valid = jnp.isfinite(best_d)
+            dist_sum = dist_sum + jnp.where(valid, best_d * best_w, 0.0)
+            weight_sum = weight_sum + jnp.where(valid, best_w, 0.0)
+        return jnp.where(weight_sum > 0,
+                         dist_sum / jnp.maximum(weight_sum, 1e-12), 0.0)
 
     out = jax.lax.map(body, ep.reshape(-1, batch, 2))
     return out.reshape(-1)[:e]

@@ -43,6 +43,13 @@ def build_arg_parser():
                    default=True, help="overlap host stages in threads")
     p.add_argument("--pipeline_status", action="store_true",
                    help="print per-stage rates")
+    p.add_argument("--checkpoint_path", default="",
+                   help="checkpoint file; with --resume, restore from it")
+    p.add_argument("--checkpoint_every", type=int, default=0,
+                   help="checkpoint every N emitted chunk boundaries "
+                        "(requires --no-use_pipeline)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from --checkpoint_path")
     return p
 
 
@@ -88,6 +95,24 @@ def main(argv=None):
         from video_segment_tpu.core import region
         region_stage = region.RegionSegmentation(
             RegionSegmentationOptions(), info.width, info.height)
+
+    resume_from = 0
+    if args.resume:
+        from video_segment_tpu.runtime import checkpoint as ckpt_mod
+        if not args.checkpoint_path:
+            sys.exit("--resume requires --checkpoint_path")
+        if flow_fn is not None and flow_fn._reader is None:
+            sys.exit("--resume with flow requires a <input>.flow cache "
+                     "(run once with --save_flow)")
+        resume_from = ckpt_mod.restore(args.checkpoint_path, ds,
+                                       region_stage)
+        reader.seek(resume_from)
+        if flow_fn is not None:
+            # Skip cached flow records already consumed before the cut
+            # (the .flow file has one record per frame from frame 1 on).
+            for _ in range(max(resume_from - 1, 0)):
+                flow_fn._reader.read()
+        print(f"resumed from {args.checkpoint_path} at frame {resume_from}")
 
     writer = None
     if args.write_to_file:
@@ -210,13 +235,16 @@ def main(argv=None):
         try:
             if printer:
                 printer.__enter__()
-            for sf in pipe.run(enumerate(reader)):
+            for sf in pipe.run(
+                    (resume_from + k, fr)
+                    for k, fr in enumerate(reader)):
                 consume_one(sf)
         finally:
             if printer:
                 printer.__exit__()
     else:
-        n_in = 0
+        n_in = resume_from
+        last_ckpt_chunk = ds._chunk_id
         for frame in reader:
             for pair in flow_stage((n_in, frame)):
                 out = dense_stage(pair)
@@ -225,6 +253,13 @@ def main(argv=None):
                 for sf in out:
                     consume_one(sf)
             n_in += 1
+            if (args.checkpoint_every and args.checkpoint_path
+                    and ds._chunk_id > last_ckpt_chunk
+                    and ds._chunk_id % args.checkpoint_every == 0):
+                from video_segment_tpu.runtime import checkpoint as ckpt_mod
+                ckpt_mod.save(args.checkpoint_path, ds, region_stage,
+                              frames_consumed=n_in)
+                last_ckpt_chunk = ds._chunk_id
         out = []
         for pair in flow_flush():
             out.extend(dense_stage(pair))
