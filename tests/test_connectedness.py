@@ -65,3 +65,32 @@ def test_tiny_islands_not_split():
     out, n, origin = connectedness.enforce_spatial_connectedness(lab, 2)
     assert n == 2
     assert (out[:, 10, 10] == 1).all()
+
+
+def test_flow_advected_centroid_matching():
+    """A fast-moving component stays one tube when centroids are advected
+    along backward flow (dense_segmentation_graph.h:735-742), but
+    fragments into per-frame tubes on raw centroids."""
+    t, h, w = 4, 24, 64
+    labels = np.zeros((t, h, w), np.int64)
+    step = 12  # far beyond the 4%-diagonal matching radius (~2.7 px)
+    for f in range(t):
+        x = 4 + f * step
+        labels[f, 8:16, x:x + 8] = 1
+    flow = np.zeros((t - 1, h, w, 2), np.float32)
+    for f in range(1, t):
+        x = 4 + f * step
+        # backward flow only on the mover: current pos - step = prev pos
+        flow[f - 1, 8:16, x:x + 8, 0] = -step
+
+    out_flow, n_flow, _ = connectedness.enforce_spatial_connectedness(
+        labels.copy(), 2, flow=flow)
+    out_raw, n_raw, _ = connectedness.enforce_spatial_connectedness(
+        labels.copy(), 2)
+    # The mover stays ONE region across frames when advected...
+    mover_ids_flow = {int(out_flow[f, 11, 8 + f * step]) for f in range(t)}
+    assert len(mover_ids_flow) == 1, mover_ids_flow
+    # ...but fragments per frame on raw centroids (matching radius ~2.7px).
+    mover_ids_raw = {int(out_raw[f, 11, 8 + f * step]) for f in range(t)}
+    assert len(mover_ids_raw) > 1, mover_ids_raw
+    assert n_flow < n_raw

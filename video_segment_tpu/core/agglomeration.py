@@ -246,6 +246,11 @@ def agglomerate(hist, flow_hist, flow_cnt, sizes, edges, num_regions: int,
         new_active = int(new_active)
         if new_active >= active:
             break  # no progress (disconnected remainder)
+        import os
+        if os.environ.get("VST_VERBOSE"):
+            import sys
+            print(f"[stats] agglomeration level {level}: {active} -> "
+                  f"{new_active} regions", file=sys.stderr)
         active = new_active
         levels.append(np.asarray(state.label).copy())
         level += 1

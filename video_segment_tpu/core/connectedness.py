@@ -12,8 +12,9 @@ Matching thresholds follow the reference: consecutive components join a tube
 when the centroid distance is below 4% of the frame diagonal and the area
 ratio exceeds 0.75 (dense_segmentation_graph.h:735-742); temporally abutting
 tubes of the same region with matching geometry are merged before
-relabeling.  (The reference optionally advects centroids along optical flow;
-this implementation matches on raw centroids.)
+relabeling.  When backward flow is available, the current component's
+centroid is advected into the previous frame before the distance test
+(dense_segmentation_graph.h:735-742 advects along flow).
 
 The per-frame multi-label connected components run in native C++
 (video_segment_tpu.native.multi_label_cc).
@@ -42,11 +43,14 @@ def _frame_components(frame_labels: np.ndarray):
 
 
 def enforce_spatial_connectedness(labels: np.ndarray, num_regions: int,
-                                  min_avg_tube_area: float = 20.0):
+                                  min_avg_tube_area: float = 20.0,
+                                  flow: np.ndarray | None = None):
     """Split per-frame islands of each region into per-tube regions.
 
     Args:
       labels: (T,H,W) compact region indices in [0, num_regions).
+      flow: optional (T-1,H,W,2) backward flow; frame f's centroids are
+        advected by flow[f-1] before matching against frame f-1 tubes.
     Returns (new_labels, total_regions, origin): origin[r] gives, for every
     region index in the result (old and new), the original region it came
     from — new tube regions inherit descriptors/constraints decisions from
@@ -74,15 +78,24 @@ def enforce_spatial_connectedness(labels: np.ndarray, num_regions: int,
     open_prev: dict = {}
     for f in range(t):
         region, area, cx, cy = tables[f]
+        fl = flow[f - 1] if (flow is not None and f > 0) else None
         open_now: dict = {}
         for ci in range(len(region)):
             r = int(region[ci])
             if r < 0:
                 continue
+            # Advect the centroid into the previous frame along backward
+            # flow before matching (raw centroid when flow is absent).
+            mx, my = cx[ci], cy[ci]
+            if fl is not None:
+                iy = min(max(int(round(my)), 0), h - 1)
+                ix = min(max(int(round(mx)), 0), w - 1)
+                mx = mx + float(fl[iy, ix, 0])
+                my = my + float(fl[iy, ix, 1])
             best = None
             best_d = diag_thresh
             for tid, px, py, pa in open_prev.get(r, ()):
-                d = np.hypot(cx[ci] - px, cy[ci] - py)
+                d = np.hypot(mx - px, my - py)
                 ratio = min(area[ci], pa) / max(area[ci], pa, 1.0)
                 if d < best_d and ratio > 0.75:
                     best = tid

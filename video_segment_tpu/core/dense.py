@@ -249,6 +249,18 @@ class DenseSegmentation:
             print(f"[timing] chunk {self._chunk_id} solve "
                   f"({'constrained' if constraints is not None else 'free'})"
                   f" {time.monotonic() - t_solve0:.2f}s", file=sys.stderr)
+        if os.environ.get("VST_VERBOSE"):
+            # Merge statistics in the spirit of the reference's per-run
+            # summary (segmentation_graph.h:452-462): region count, share
+            # below min size, share carrying constraints.
+            import sys
+            live = res.size[res.size > 0]
+            n_small = int((live < self.min_region_size).sum())
+            n_con = int((constr_all[np.asarray(res.size) > 0] >= 0).sum())
+            print(f"[stats] chunk {self._chunk_id}: regions={len(live)} "
+                  f"small={n_small} constrained={n_con} "
+                  f"min_region_size={self.min_region_size}",
+                  file=sys.stderr)
 
         if self.options.enforce_n4_connectivity:
             labels = np.stack([rle.enforce_n4_connectivity(f) for f in labels])
@@ -259,9 +271,12 @@ class DenseSegmentation:
 
         if self.options.enforce_spatial_connectedness:
             from video_segment_tpu.core import connectedness
+            flow_np = None
+            if self._has_flow and t > 1:
+                flow_np = np.stack([f for f in self._flow_buffer[1:t]])
             compact, n2, _origin = \
-                connectedness.enforce_spatial_connectedness(compact,
-                                                            num_regions)
+                connectedness.enforce_spatial_connectedness(
+                    compact, num_regions, flow=flow_np)
             if n2 > num_regions:
                 # Split-off tubes are new, unconstrained regions
                 # (dense_segmentation_graph.h:867-904 relabels them).

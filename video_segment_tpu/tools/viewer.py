@@ -31,26 +31,42 @@ def main(argv=None):
         print(f"cannot open {args.input}", file=sys.stderr)
         return 1
 
-    descs = []
-    hierarchy = None
-    hierarchies = []  # per frame: the active hierarchy
-    for payload in reader:
-        d = proto.SegmentationDesc()
-        d.ParseFromString(payload)
+    # Seek-based random access (the reference viewer seeks the hierarchy
+    # frame via hierarchy_frame_idx, viewer.cpp:146-168): frames are read
+    # on demand through the container's per-frame offset table instead of
+    # loading the whole stream into memory.
+    n_frames = reader.num_frames
+    desc_cache: dict[int, object] = {}
+    cache_order: list[int] = []
+
+    def desc_at(idx: int):
+        d = desc_cache.get(idx)
+        if d is None:
+            reader.seek_to_frame(idx)
+            d = proto.SegmentationDesc()
+            d.ParseFromString(reader.read_frame())
+            desc_cache[idx] = d
+            cache_order.append(idx)
+            if len(cache_order) > 64:
+                desc_cache.pop(cache_order.pop(0), None)
+        return d
+
+    def hierarchy_of(d):
         if len(d.hierarchy):
-            hierarchy = list(d.hierarchy)
-        descs.append(d)
-        hierarchies.append(hierarchy)
-    reader.close()
-    levels = max(len(h) for h in hierarchies if h) if any(hierarchies) else 1
+            return list(d.hierarchy)
+        hd = desc_at(d.hierarchy_frame_idx)
+        return list(hd.hierarchy) if len(hd.hierarchy) else None
+
+    levels = len(hierarchy_of(desc_at(0)) or []) or 1
 
     def frame_at(idx: int, level: int):
-        return render.render_desc(descs[idx], hierarchies[idx],
-                                  min(level, len(hierarchies[idx] or []) - 1)
-                                  if hierarchies[idx] else 0)
+        d = desc_at(idx)
+        hier = hierarchy_of(d)
+        lvl = min(level, len(hier) - 1) if hier else 0
+        return render.render_desc(d, hier, lvl)
 
     if args.dump:
-        n = len(descs)
+        n = n_frames
         picks = sorted({0, n // 4, n // 2, 3 * n // 4, n - 1})
         rows = []
         for lvl in range(0, levels, max(1, levels // 3)):
@@ -63,7 +79,7 @@ def main(argv=None):
     win = "segment_viewer"
     cv2.namedWindow(win)
     state = {"frame": 0, "level": 0, "play": False}
-    cv2.createTrackbar("frame", win, 0, len(descs) - 1,
+    cv2.createTrackbar("frame", win, 0, n_frames - 1,
                        lambda v: state.update(frame=v))
     cv2.createTrackbar("level", win, 0, max(levels - 1, 1),
                        lambda v: state.update(level=v))
@@ -75,7 +91,7 @@ def main(argv=None):
         elif key in (27, ord("q")):
             break
         if state["play"]:
-            state["frame"] = (state["frame"] + 1) % len(descs)
+            state["frame"] = (state["frame"] + 1) % n_frames
             cv2.setTrackbarPos("frame", win, state["frame"])
     cv2.destroyAllWindows()
     return 0
