@@ -73,10 +73,13 @@ def _eval_distances(state: AggloState, edges, evalid, inv_median, use_flow,
     return jnp.where(evalid & (ra != rb), d, jnp.inf)
 
 
-def _merge_subround(state: AggloState, edges, d, budget, up):
-    r = state.label.shape[0]
-    ra = state.label[edges[:, 0]]
-    rb = state.label[edges[:, 1]]
+def _label_subround(label, edges, d, budget, up):
+    """One label-only merge subround.  Region statistics are NOT touched —
+    distances are frozen for the level (the once-per-level re-evaluation
+    approximation), so tables only need re-aggregating at level end."""
+    r = label.shape[0]
+    ra = label[edges[:, 0]]
+    rb = label[edges[:, 1]]
     act = jnp.isfinite(d) & (ra != rb)
     key = jnp.where(act, jnp.clip((d * _DQ).astype(jnp.int32), 0, _DQ),
                     _I32MAX)
@@ -100,20 +103,26 @@ def _merge_subround(state: AggloState, edges, d, budget, up):
     hook = admit & ((partner > slots) == up)
     parent = jnp.where(hook, partner, slots)
     root = cc.pointer_jump(parent)
-
-    hist = jax.ops.segment_sum(state.hist, root, num_segments=r)
-    fh = jax.vmap(lambda x: jax.ops.segment_sum(x, root, num_segments=r),
-                  in_axes=0, out_axes=0)(state.flow_hist)
-    fc = jax.vmap(lambda x: jax.ops.segment_sum(x, root, num_segments=r),
-                  in_axes=0, out_axes=0)(state.flow_cnt)
-    sizes = jax.ops.segment_sum(state.sizes, root, num_segments=r)
-    wh = jax.vmap(lambda x: jax.ops.segment_sum(x, root, num_segments=r),
-                  in_axes=0, out_axes=0)(state.win_hist)
-    wc2 = jax.vmap(lambda x: jax.ops.segment_sum(x, root, num_segments=r),
-                   in_axes=0, out_axes=0)(state.win_cnt)
-    label = root[state.label]
     moved = jnp.sum(root != slots)
-    return AggloState(label, hist, fh, fc, sizes, wh, wc2), moved
+    return root[label], moved
+
+
+def _reaggregate(state: AggloState) -> AggloState:
+    """Re-aggregate every statistics table onto current roots (one pass per
+    level; slot s's live stats move to label[s])."""
+    r = state.label.shape[0]
+    seg = state.label
+    hist = jax.ops.segment_sum(state.hist, seg, num_segments=r)
+    fh = jax.vmap(lambda x: jax.ops.segment_sum(x, seg, num_segments=r),
+                  in_axes=0, out_axes=0)(state.flow_hist)
+    fc = jax.vmap(lambda x: jax.ops.segment_sum(x, seg, num_segments=r),
+                  in_axes=0, out_axes=0)(state.flow_cnt)
+    sizes = jax.ops.segment_sum(state.sizes, seg, num_segments=r)
+    wh = jax.vmap(lambda x: jax.ops.segment_sum(x, seg, num_segments=r),
+                  in_axes=0, out_axes=0)(state.win_hist)
+    wc2 = jax.vmap(lambda x: jax.ops.segment_sum(x, seg, num_segments=r),
+                   in_axes=0, out_axes=0)(state.win_cnt)
+    return AggloState(state.label, hist, fh, fc, sizes, wh, wc2)
 
 
 def _force_constraints(state: AggloState, constr):
@@ -138,17 +147,7 @@ def _force_constraints(state: AggloState, constr):
     hook = (partner < _I32MAX) & (partner < slots)
     parent = jnp.where(hook, partner, slots)
     root2 = cc.pointer_jump(parent)
-    hist = jax.ops.segment_sum(state.hist, root2, num_segments=r)
-    fh = jax.vmap(lambda x: jax.ops.segment_sum(x, root2, num_segments=r),
-                  in_axes=0, out_axes=0)(state.flow_hist)
-    fc = jax.vmap(lambda x: jax.ops.segment_sum(x, root2, num_segments=r),
-                  in_axes=0, out_axes=0)(state.flow_cnt)
-    sizes = jax.ops.segment_sum(state.sizes, root2, num_segments=r)
-    wh = jax.vmap(lambda x: jax.ops.segment_sum(x, root2, num_segments=r),
-                  in_axes=0, out_axes=0)(state.win_hist)
-    wc2 = jax.vmap(lambda x: jax.ops.segment_sum(x, root2, num_segments=r),
-                   in_axes=0, out_axes=0)(state.win_cnt)
-    return AggloState(root2[state.label], hist, fh, fc, sizes, wh, wc2)
+    return state._replace(label=root2[state.label])
 
 
 @functools.partial(jax.jit, static_argnames=("max_subrounds",))
@@ -185,17 +184,18 @@ def _run_level(state: AggloState, edges, evalid, constr, is_level0,
                         penalizer)
 
     def body(i, carry):
-        st, merged, dd = carry
-        st, moved = _merge_subround(st, edges, dd, budget_total - merged,
-                                    (i % 2) == 0)
-        ra = st.label[edges[:, 0]]
-        rb = st.label[edges[:, 1]]
+        label, merged, dd = carry
+        label, moved = _label_subround(label, edges, dd,
+                                       budget_total - merged, (i % 2) == 0)
+        ra = label[edges[:, 0]]
+        rb = label[edges[:, 1]]
         dd = jnp.where(ra != rb, dd, jnp.inf)
-        return st, merged + moved, dd
+        return label, merged + moved, dd
 
-    state, merged, _ = jax.lax.fori_loop(0, max_subrounds, body,
-                                         (state, jnp.int32(0), d))
-    state = _force_constraints(state, constr)
+    label, merged, _ = jax.lax.fori_loop(
+        0, max_subrounds, body, (state.label, jnp.int32(0), d))
+    state = _force_constraints(state._replace(label=label), constr)
+    state = _reaggregate(state)
     active_after = jnp.sum(((state.label == slots)
                             & (state.sizes > 0)).astype(jnp.int32))
     return state, active_after
