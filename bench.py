@@ -25,15 +25,17 @@ VIDEO = "/root/reference/video_example/test_video.MOV"
 BASELINE_FPS = 4.06  # measured: reference CPU pipeline, this clip, flow off
 
 
-def run_pipeline(frames, width, height, use_flow=False):
+def run_pipeline(frames, width, height, use_flow=False,
+                 over_segment_only=False):
     from video_segment_tpu.core import dense, region
     from video_segment_tpu.core.options import (DenseSegmentationOptions,
                                                 RegionSegmentationOptions)
     from video_segment_tpu.dataio import emit
 
     ds = dense.DenseSegmentation(DenseSegmentationOptions(), width, height)
-    rs = region.RegionSegmentation(RegionSegmentationOptions(
-        use_flow=use_flow), width, height)
+    rs = (_NullRegion() if over_segment_only
+          else region.RegionSegmentation(RegionSegmentationOptions(
+              use_flow=use_flow), width, height))
     flow_eng = None
     if use_flow:
         from video_segment_tpu.core import flow as flow_mod
@@ -63,9 +65,29 @@ def run_pipeline(frames, width, height, use_flow=False):
     return n_out, payload_bytes
 
 
+class _NullRegion:
+    """Over-segmentation-only stand-in (BASELINE config 1)."""
+
+    def add_frame(self, *a, **kw):
+        pass
+
+    def process_frames(self, flush, seg_frames):
+        return seg_frames
+
+
 def main():
-    n_frames = int(os.environ.get("BENCH_FRAMES", "60"))
-    use_flow = os.environ.get("BENCH_FLOW", "0") == "1"
+    # BENCH_CONFIG selects a BASELINE.json config:
+    #   1 over-seg only (test clip, flow off)
+    #   2 full hierarchical (test clip, flow off)   [default; headline]
+    #   3 flow-enabled 480p (480x854 upscale of the test clip)
+    #   4 streaming 720p (720x1280 upscale, bounded memory chunking)
+    #   5 1080p two-clip batch (1080x1920 upscale)
+    cfg = int(os.environ.get("BENCH_CONFIG", "2"))
+    n_frames = int(os.environ.get("BENCH_FRAMES",
+                                  "40" if cfg >= 4 else "60"))
+    use_flow = os.environ.get("BENCH_FLOW", "1" if cfg == 3 else "0") == "1"
+    scale_to = {3: (480, 854), 4: (720, 1280), 5: (1080, 1920)}.get(cfg)
+    n_clips = 2 if cfg == 5 else 1
 
     from video_segment_tpu.dataio import video
 
@@ -73,20 +95,32 @@ def main():
     frames = list(reader)
     reader.close()
     w, h = reader.info.width, reader.info.height
+    if scale_to:
+        import cv2
+        w, h = scale_to
+        frames = [cv2.resize(f, (w, h), interpolation=cv2.INTER_CUBIC)
+                  for f in frames]
 
     # Warmup pass compiles all programs over the exact same shape sequence
     # (persistent cache makes this cheap on subsequent runs); the measured
     # pass then reflects steady-state throughput.
-    run_pipeline(frames, w, h, use_flow)
+    run_pipeline(frames, w, h, use_flow, over_segment_only=cfg == 1)
 
     t0 = time.time()
-    n_out, _ = run_pipeline(frames, w, h, use_flow)
+    n_out = 0
+    for _ in range(n_clips):
+        n1, _ = run_pipeline(frames, w, h, use_flow,
+                             over_segment_only=cfg == 1)
+        n_out += n1
     dt = time.time() - t0
     fps = n_out / dt if dt > 0 else 0.0
 
+    names = {1: "over-segmentation", 2: "full hierarchical segmentation",
+             3: "flow-enabled segmentation", 4: "streaming 720p segmentation",
+             5: "1080p two-clip batch segmentation"}
     print(json.dumps({
-        "metric": f"full hierarchical segmentation fps "
-                  f"({w}x{h}, flow={'on' if use_flow else 'off'})",
+        "metric": f"{names[cfg]} fps ({w}x{h}, "
+                  f"flow={'on' if use_flow else 'off'})",
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / BASELINE_FPS, 3),

@@ -226,8 +226,23 @@ class DenseSegmentation:
             init_label = jnp.asarray(init_np)
             frozen = jnp.asarray(frozen_np)
             if tile_init is not None:
-                # Free planes take tile-local pre-merges; constrained planes
-                # keep the constraint pre-merge.
+                # Free planes take tile-local pre-merges.  Constrained
+                # planes (1..n_constrained-1) pre-merge within
+                # (preseg region x constraint id) groups: pixels that are
+                # locally similar AND share a constraint merge
+                # unconditionally anyway (same-constraint merges below the
+                # split threshold), and per-pixel seeding would overflow
+                # the solver's region table at larger frames.
+                tile_np = np.asarray(tile_init)
+                for pl_i in range(1, n_constrained):
+                    key = (tile_np[pl_i].astype(np.int64).ravel()
+                           * (len(cid_to_gid) + 1)
+                           + compact[pl_i].ravel() + 1)
+                    uniq, first = np.unique(key, return_index=True)
+                    canon = first[np.searchsorted(uniq, key)]
+                    init_np[pl_i] = (pl_i * h * w
+                                     + canon).reshape(h, w).astype(np.int32)
+                init_label = jnp.asarray(init_np)
                 plane = jnp.arange(t_solve)[:, None, None]
                 init_label = jnp.where(plane < n_constrained, init_label,
                                        tile_init)

@@ -831,7 +831,14 @@ def _solve_edge_table(vol, state, params, fl, n_pix, thetas,
     OversegParams.edge_table comment).  `state` is the initial pixel-space
     solver state; `fl` the flow or None."""
     t, h, w, _ = vol.shape
-    r_cap = min(max(n_pix // params.table_divisor, 1 << 14), n_pix,
+    # Constrained solves seed one plane of per-pixel constrained labels
+    # (plus the premerged frozen plane, bounded by max_constraints); the
+    # table must hold them on top of the preseg's regions or they overflow
+    # into the sink and fragment the output.  NOTE: at very large frames
+    # (h*w near 2^20) the partner-packing cap bites for constrained
+    # solves — callers bound chunk area via max_solve_voxels.
+    extra = (h * w + params.max_constraints) if has_constraints else 0
+    r_cap = min(max(n_pix // params.table_divisor, 1 << 14) + extra, n_pix,
                 _PARTNER_MASK - 1)
     nseg = r_cap + 1
     sink = r_cap
