@@ -150,8 +150,7 @@ def _force_constraints(state: AggloState, constr):
     return state._replace(label=root2[state.label])
 
 
-@functools.partial(jax.jit, static_argnames=("max_subrounds",))
-def _run_level(state: AggloState, edges, evalid, constr, is_level0,
+def _level_step(state: AggloState, edges, evalid, constr, is_level0,
                max_region_num, min_region_num, cutoff_fraction, use_flow,
                penalizer, max_subrounds: int):
     r = state.label.shape[0]
@@ -201,6 +200,34 @@ def _run_level(state: AggloState, edges, evalid, constr, is_level0,
     return state, active_after
 
 
+@functools.partial(jax.jit, static_argnames=("max_subrounds", "max_levels"))
+def _run_all_levels(state: AggloState, edges, evalid, constr_stack,
+                    max_region_num, min_region_num, cutoff_fraction,
+                    use_flow, penalizer, max_subrounds: int,
+                    max_levels: int):
+    """Every hierarchy level in ONE device program (the per-level host
+    round-trips dominated the region stage on the remote backend).  Levels
+    past convergence degenerate to no-ops (budget clamps to zero once
+    active <= min_region_num); the host trims them from the result."""
+    r = state.label.shape[0]
+
+    def body(l, carry):
+        st, labels_out, actives = carry
+        st, active_after = _level_step(
+            st, edges, evalid, constr_stack[l], l == 0, max_region_num,
+            min_region_num, cutoff_fraction, use_flow, penalizer,
+            max_subrounds)
+        labels_out = jax.lax.dynamic_update_slice(
+            labels_out, st.label[None], (l, 0))
+        actives = actives.at[l].set(active_after)
+        return st, labels_out, actives
+
+    init = (state, jnp.zeros((max_levels, r), jnp.int32),
+            jnp.zeros(max_levels, jnp.int32))
+    _, labels_out, actives = jax.lax.fori_loop(0, max_levels, body, init)
+    return labels_out, actives
+
+
 def agglomerate(hist, flow_hist, flow_cnt, sizes, edges, num_regions: int,
                 *, min_region_num: int = 10, max_region_num: int = 10000,
                 cutoff_fraction: float = 0.8, penalizer: float = 0.25,
@@ -229,29 +256,34 @@ def agglomerate(hist, flow_hist, flow_cnt, sizes, edges, num_regions: int,
     evalid = jnp.ones(edges.shape[0], bool) if edges.size else \
         jnp.zeros(0, bool)
     use_flow_f = jnp.float32(1.0 if use_flow else 0.0)
-    no_constr = jnp.full(r, -1, jnp.int32)
 
+    max_levels = 40  # hierarchies top out around 25-35 levels
+    constr_stack = np.full((max_levels, r), -1, np.int32)
+    if constraints is not None:
+        for l in range(min(len(constraints), max_levels)):
+            constr_stack[l] = constraints[l]
+
+    labels_out, actives = _run_all_levels(
+        state, edges, evalid, jnp.asarray(constr_stack),
+        jnp.int32(max_region_num), jnp.int32(min_region_num),
+        jnp.float32(cutoff_fraction), use_flow_f, jnp.float32(penalizer),
+        max_subrounds, max_levels)
+    labels_out = np.asarray(labels_out)
+    actives = np.asarray(actives)
+
+    import os
     levels = []
     active = num_regions
-    level = 0
-    while active > min_region_num:
-        constr = no_constr
-        if constraints is not None and level < len(constraints):
-            constr = jnp.asarray(constraints[level], jnp.int32)
-        state, new_active = _run_level(
-            state, edges, evalid, constr, jnp.bool_(level == 0),
-            jnp.int32(max_region_num), jnp.int32(min_region_num),
-            jnp.float32(cutoff_fraction), use_flow_f,
-            jnp.float32(penalizer), max_subrounds)
-        new_active = int(new_active)
+    for l in range(max_levels):
+        if active <= min_region_num:
+            break
+        new_active = int(actives[l])
         if new_active >= active:
             break  # no progress (disconnected remainder)
-        import os
         if os.environ.get("VST_VERBOSE"):
             import sys
-            print(f"[stats] agglomeration level {level}: {active} -> "
+            print(f"[stats] agglomeration level {l}: {active} -> "
                   f"{new_active} regions", file=sys.stderr)
         active = new_active
-        levels.append(np.asarray(state.label).copy())
-        level += 1
+        levels.append(labels_out[l].copy())
     return levels

@@ -112,7 +112,7 @@ class DenseSegmentation:
             # table can shrink accordingly (everything in the table phases
             # scales with its size).
             self._params = self._params._replace(
-                table_divisor=max(16, self._params.table_divisor))
+                table_divisor=max(24, self._params.table_divisor))
 
         self._buffer: list[jnp.ndarray] = []   # smoothed (H,W,3) on device
         self._flow_buffer: list[np.ndarray] = []

@@ -837,7 +837,8 @@ def _solve_edge_table(vol, state, params, fl, n_pix, thetas,
     # into the sink and fragment the output.  NOTE: at very large frames
     # (h*w near 2^20) the partner-packing cap bites for constrained
     # solves — callers bound chunk area via max_solve_voxels.
-    extra = (h * w + params.max_constraints) if has_constraints else 0
+    extra = ((h * w) // 4 + params.max_constraints) if has_constraints \
+        else 0
     r_cap = min(max(n_pix // params.table_divisor, 1 << 14) + extra, n_pix,
                 _PARTNER_MASK - 1)
     nseg = r_cap + 1

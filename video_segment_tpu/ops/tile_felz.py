@@ -189,9 +189,10 @@ def _solve_subtile(color3, gy, gx, h, w, *, schedule, rounds_per_level,
         hook = have & ((partner > own_flat) == up)
         pa = jnp.where(hook, partner >> 7, rows)
         pb = jnp.where(hook, partner & 127, cols)
-        # Parity hooking chains are monotone; 4 jumps resolve <=16 deep
-        # (tile diameter bounds real chain depth far below that).
-        for _ in range(4):
+        # Parity hooking chains are monotone; 2 jumps resolve <=4 deep.
+        # Deeper chains leave stale labels that simply re-merge next round
+        # (and the caller's final pointer_jump resolves any residue).
+        for _ in range(2):
             pa, pb = _compose(pa, pb)
         ohr2 = _onehot_rows(labr)
         labr = _distribute(ohr2, labc, pa.astype(jnp.float32)) \
@@ -399,7 +400,7 @@ def _ref_subtile(c, hh, ww, schedule, rounds_per_level, merge_threshold,
             up = (rnd % 2) == 0
             hook = have & ((partner > own) == up)
             parent = np.where(hook, partner, own)
-            for _ in range(4):
+            for _ in range(2):
                 parent = parent[parent]
             lab = parent[lab]
 
@@ -416,4 +417,13 @@ def _ref_subtile(c, hh, ww, schedule, rounds_per_level, merge_threshold,
         np.logical_or.at(fail_t, lab.ravel(), fail.ravel())
         fin |= fail_t
 
+    # Resolve any residual label chains (the kernel caller's final
+    # pointer_jump does the same).
+    flat = lab.ravel().copy()
+    for _ in range(12):
+        nf = flat[flat]
+        if (nf == flat).all():
+            break
+        flat = nf
+    lab = flat.reshape(lab.shape)
     return lab, fin[lab]
