@@ -211,8 +211,16 @@ def _run_all_levels(state: AggloState, edges, evalid, constr_stack,
     active <= min_region_num); the host trims them from the result."""
     r = state.label.shape[0]
 
-    def body(l, carry):
-        st, labels_out, actives = carry
+    slots0 = jnp.arange(r, dtype=jnp.int32)
+    active0 = jnp.sum(((state.label == slots0)
+                       & (state.sizes > 0)).astype(jnp.int32))
+
+    def cond(carry):
+        st, labels_out, actives, l, active = carry
+        return (l < max_levels) & (active > min_region_num)
+
+    def body(carry):
+        st, labels_out, actives, l, _ = carry
         st, active_after = _level_step(
             st, edges, evalid, constr_stack[l], l == 0, max_region_num,
             min_region_num, cutoff_fraction, use_flow, penalizer,
@@ -220,11 +228,11 @@ def _run_all_levels(state: AggloState, edges, evalid, constr_stack,
         labels_out = jax.lax.dynamic_update_slice(
             labels_out, st.label[None], (l, 0))
         actives = actives.at[l].set(active_after)
-        return st, labels_out, actives
+        return st, labels_out, actives, l + 1, active_after
 
     init = (state, jnp.zeros((max_levels, r), jnp.int32),
-            jnp.zeros(max_levels, jnp.int32))
-    _, labels_out, actives = jax.lax.fori_loop(0, max_levels, body, init)
+            jnp.zeros(max_levels, jnp.int32), jnp.int32(0), active0)
+    _, labels_out, actives, _, _ = jax.lax.while_loop(cond, body, init)
     return labels_out, actives
 
 
@@ -278,6 +286,8 @@ def agglomerate(hist, flow_hist, flow_cnt, sizes, edges, num_regions: int,
         if active <= min_region_num:
             break
         new_active = int(actives[l])
+        if new_active == 0:
+            break  # device loop terminated before this level
         if new_active >= active:
             break  # no progress (disconnected remainder)
         if os.environ.get("VST_VERBOSE"):

@@ -183,10 +183,11 @@ class DenseSegmentation:
             if self._preseg_mode == "felz":
                 from video_segment_tpu.ops import tile_felz
                 tile_init, tile_fin = tile_felz.tile_felzenszwalb(
-                    vol, schedule=tuple(
-                        th for th in self._params.schedule if th < 2047),
+                    vol, schedule=self._params.preseg_schedule,
                     merge_threshold=self._params.merge_threshold,
                     metric=self.options.color_distance)
+                if not self._params.carry_preseg_fin:
+                    tile_fin = None
             else:
                 from video_segment_tpu.ops import tile_preseg
                 # The edge-table solver needs pixels pre-collapsed far

@@ -113,6 +113,13 @@ class OversegParams(NamedTuple):
     # the edge-table solver (bucket ~20 of 2048: merges the reference would
     # accept at its earliest levels; region means cannot drift materially).
     preseg_threshold: float = 0.01
+    # Bucket schedule of the tile-local felz pre-solve (kept coarse: kernel
+    # time scales with its length; the global schedule refines the rest).
+    preseg_schedule: tuple = (4, 32, 192, 1024)
+    # Carry the local pre-solve's failed-merge-test flags into the global
+    # phases.  Off = finalization develops only from global level-end
+    # tests (coarser, merges further).
+    carry_preseg_fin: bool = True
 
 
 class SolverState(NamedTuple):
@@ -852,14 +859,14 @@ def _solve_edge_table(vol, state, params, fl, n_pix, thetas,
     tab = _extract_edges(memb.reshape(t, h, w), vol, fl, nseg, sink, params)
     ptn, pbk = _topk_edges(tab, params.edge_topk)
 
-    def run_rounds(ts, theta, max_rounds, mode):
+    def run_rounds(ts, theta, max_rounds, mode, p_tab, b_tab):
         def cond(carry):
             st, i, idle = carry
             return (idle < 2) & (i < max_rounds)
 
         def body(carry):
             st, i, idle = carry
-            st, moved, cands = _table_round(st, ptn, pbk, theta,
+            st, moved, cands = _table_round(st, p_tab, b_tab, theta,
                                             (i % 2) == 0, mode, nseg, sink,
                                             params)
             idle = jnp.where(cands == 0, 2,
@@ -870,8 +877,27 @@ def _solve_edge_table(vol, state, params, fl, n_pix, thetas,
                                       (ts, jnp.int32(0), jnp.int32(0)))
         return ts
 
+    if params.two_stage:
+        # Spatial-only pre-pass over the whole schedule
+        # (SegmentGraphSpatially, dense_segmentation_graph.h:406-416):
+        # the spatial directions occupy the first 8 extraction columns.
+        ptn_s, pbk_s = _topk_edges(tab[:2 * len(SPATIAL_FWD)],
+                                   params.edge_topk)
+
+        def level_body_s(l, ts):
+            ts = run_rounds(ts, thetas[l], level_rounds[l],
+                            jnp.int32(MODE_MERGE), ptn_s, pbk_s)
+            return _table_level_end(ts, tab[:2 * len(SPATIAL_FWD)],
+                                    thetas[l], nseg, sink, params)
+
+        ts = jax.lax.fori_loop(0, thetas.shape[0], level_body_s, ts)
+        # The spatial pass's finalizations do not carry into the full pass
+        # (the reference rebuilds the graph state for the full run).
+        ts = ts._replace(fin=jnp.zeros_like(ts.fin))
+
     def level_body(l, ts):
-        ts = run_rounds(ts, thetas[l], level_rounds[l], jnp.int32(MODE_MERGE))
+        ts = run_rounds(ts, thetas[l], level_rounds[l], jnp.int32(MODE_MERGE),
+                        ptn, pbk)
         return _table_level_end(ts, tab, thetas[l], nseg, sink, params)
 
     ts = jax.lax.fori_loop(0, thetas.shape[0], level_body, ts)
@@ -879,7 +905,7 @@ def _solve_edge_table(vol, state, params, fl, n_pix, thetas,
     if params.min_region_size > 1:
         ts = run_rounds(ts, jnp.int32(NUM_BUCKETS),
                         jnp.int32(params.min_size_rounds),
-                        jnp.int32(MODE_MIN_SIZE))
+                        jnp.int32(MODE_MIN_SIZE), ptn, pbk)
 
     if has_constraints:
         ts = _merge_constrained(ts, params.max_constraints, nseg, params)
