@@ -60,7 +60,8 @@ SOURCES=(
 )
 
 OBJS=()
-for src in "${SOURCES[@]}" "$HERE/golden_driver.cc" "$HERE/pb_inspect.cc"; do
+for src in "${SOURCES[@]}" "$HERE/golden_driver.cc" "$HERE/pb_inspect.cc" \
+           "$HERE/strip_probe.cc"; do
   obj="$BUILD/obj/$(basename "${src%.*}").o"
   if [[ ! -f "$obj" || "$src" -nt "$obj" ]]; then
     echo "CXX $(basename "$src")"
@@ -80,4 +81,8 @@ echo "LINK pb_inspect"
 # shellcheck disable=SC2086
 $CXX -fopenmp "${LIB_OBJS[@]}" "$BUILD/obj/pb_inspect.o" \
      -o "$BUILD/pb_inspect" $LIBS
-echo "Built $BUILD/golden_driver $BUILD/pb_inspect"
+echo "LINK strip_probe"
+# shellcheck disable=SC2086
+$CXX -fopenmp "${LIB_OBJS[@]}" "$BUILD/obj/strip_probe.o" \
+     -o "$BUILD/strip_probe" $LIBS
+echo "Built $BUILD/golden_driver $BUILD/pb_inspect $BUILD/strip_probe"

@@ -153,6 +153,8 @@ def strip_to_essentials(desc, save_vectorization: bool = True,
             w_i32(len(cr.child_id))
             for c in cr.child_id:
                 w_i32(c)
+            w_i32(cr.start_frame)
+            w_i32(cr.end_frame)
     return out.getvalue()
 
 
