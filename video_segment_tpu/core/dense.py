@@ -107,12 +107,14 @@ class DenseSegmentation:
             import jax
             self._preseg_mode = ("felz" if jax.default_backend() == "tpu"
                                  else "flood")
-        if self._preseg_mode == "felz" and self._params.edge_table:
+        if (self._preseg_mode == "felz" and self._params.edge_table
+                and self._params.table_divisor
+                == ov.OversegParams().table_divisor):
             # The local pre-solve collapses pixels ~50x, so the region
             # table can shrink accordingly (everything in the table phases
-            # scales with its size).
-            self._params = self._params._replace(
-                table_divisor=max(24, self._params.table_divisor))
+            # scales with its size).  Explicit caller-set divisors are
+            # respected.
+            self._params = self._params._replace(table_divisor=24)
 
         self._buffer: list[jnp.ndarray] = []   # smoothed (H,W,3) on device
         self._flow_buffer: list[np.ndarray] = []
