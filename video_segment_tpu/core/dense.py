@@ -110,11 +110,10 @@ class DenseSegmentation:
         if (self._preseg_mode == "felz" and self._params.edge_table
                 and self._params.table_divisor
                 == ov.OversegParams().table_divisor):
-            # The local pre-solve collapses pixels ~50x, so the region
-            # table can shrink accordingly (everything in the table phases
-            # scales with its size).  Explicit caller-set divisors are
-            # respected.
-            self._params = self._params._replace(table_divisor=24)
+            # The local pre-solve collapses pixels enough for a tighter
+            # region table (everything in the table phases scales with its
+            # size).  Explicit caller-set divisors are respected.
+            self._params = self._params._replace(table_divisor=12)
 
         self._buffer: list[jnp.ndarray] = []   # smoothed (H,W,3) on device
         self._flow_buffer: list[np.ndarray] = []

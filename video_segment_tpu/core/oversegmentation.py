@@ -84,8 +84,11 @@ class OversegParams(NamedTuple):
     # (Bhattacharyya z-score on means over pooled variance,
     # pixel_distance.h:566-638; pair with thresholds 0.1/0.75).
     descriptor: str = "color_mean"
-    # Ascending bucket thresholds; each runs Boruvka rounds to a fixed point.
-    schedule: tuple = (4, 32, 192, 1024, 2047)
+    # Ascending bucket thresholds; each runs Boruvka rounds to a fixed
+    # point.  Fine-grained by default: table-space rounds are cheap, and
+    # finer levels track the reference's strict ascending edge order more
+    # closely (round-2 sweep: level-0 boundary F 0.71 -> 0.79).
+    schedule: tuple = (4, 16, 48, 128, 256, 512, 896, 1408, 2047)
     max_rounds_per_level: int = 5
     max_final_rounds: int = 12
     min_size_rounds: int = 12
@@ -113,9 +116,12 @@ class OversegParams(NamedTuple):
     # the edge-table solver (bucket ~20 of 2048: merges the reference would
     # accept at its earliest levels; region means cannot drift materially).
     preseg_threshold: float = 0.01
-    # Bucket schedule of the tile-local felz pre-solve (kept coarse: kernel
-    # time scales with its length; the global schedule refines the rest).
-    preseg_schedule: tuple = (4, 32, 192, 1024)
+    # Bucket schedule of the tile-local felz pre-solve.  Deliberately
+    # SHALLOW: deep local schedules finalize regions on high-bucket
+    # in-tile edges before the global phase can merge their low-bucket
+    # cross-tile edges (order inversion at the handoff) — the dominant
+    # level-0 quality artifact of round 2 (horizontal band boundaries).
+    preseg_schedule: tuple = (4, 32)
     # Carry the local pre-solve's failed-merge-test flags into the global
     # phases.  Off = finalization develops only from global level-end
     # tests (coarser, merges further).
