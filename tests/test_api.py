@@ -50,3 +50,30 @@ def test_segment_video_writes_pb(tmp_path):
     desc = proto.SegmentationDesc()
     desc.ParseFromString(reader.read_frame())
     assert desc.frame_width == 32
+
+
+def test_segment_frames_flow_on_end_to_end():
+    """Flow-enabled pipeline through the v2 solver: flow-displaced
+    temporal edges in extraction, flow histograms in the region stage."""
+    rng = np.random.default_rng(5)
+    noise = (rng.random((24, 32, 3)) * 20).astype(np.uint8)
+    frames = []
+    for i in range(10):
+        img = np.full((24, 32, 3), 90, np.uint8) + noise
+        img[:, :10] = (200, 60, 60)
+        x = 12 + i
+        img[8:16, x:x + 6] = (50, 200, 90)
+        frames.append(img)
+
+    out = list(segment_frames(iter(frames), 32, 24, use_flow=True,
+                              dense_options=DenseSegmentationOptions(
+                                  chunk_size=4, presmoothing="gaussian",
+                                  frac_min_region_size=0.1),
+                              region_options=RegionSegmentationOptions(
+                                  chunk_set_size=2, chunk_set_overlap=1,
+                                  min_region_num=2, max_region_num=30,
+                                  use_flow=True)))
+    assert len(out) == 10
+    assert any(sf.hierarchy for sf in out)
+    for sf in out:
+        assert len(sf.region_ids) >= 2
