@@ -113,7 +113,7 @@ class DenseSegmentation:
             # The local pre-solve collapses pixels enough for a tighter
             # region table (everything in the table phases scales with its
             # size).  Explicit caller-set divisors are respected.
-            self._params = self._params._replace(table_divisor=12)
+            self._params = self._params._replace(table_divisor=16)
 
         self._buffer: list[jnp.ndarray] = []   # smoothed (H,W,3) on device
         self._flow_buffer: list[np.ndarray] = []

@@ -121,7 +121,9 @@ class OversegParams(NamedTuple):
     # in-tile edges before the global phase can merge their low-bucket
     # cross-tile edges (order inversion at the handoff) — the dominant
     # level-0 quality artifact of round 2 (horizontal band boundaries).
-    preseg_schedule: tuple = (4, 32)
+    # theta<=96 balances that against live-region count (73k per 480p
+    # chunk vs 274k at theta<=32, which overflowed the region table).
+    preseg_schedule: tuple = (4, 32, 96)
     # Carry the local pre-solve's failed-merge-test flags into the global
     # phases.  Off = finalization develops only from global level-end
     # tests (coarser, merges further).
