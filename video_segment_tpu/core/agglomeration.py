@@ -132,22 +132,42 @@ def _force_constraints(state: AggloState, constr):
     the level merged).  `constr` is per BASE region, -1 = unconstrained.
 
     Hooks every constrained root onto the minimum root carrying its
-    constraint — strictly downward, hence acyclic."""
+    constraint — strictly downward, hence acyclic.  One pass is not always
+    enough: a root whose members carry two different constraint ids hooks
+    only toward the smaller rep, leaving the other constraint's group split
+    (the reference's skeleton virtual edges transitively union all
+    same-constraint regions, region_segmentation_graph.cpp:52-71) — so the
+    pass iterates to a fixed point; each pass stays strictly downward and
+    the minimum root per constraint only decreases, so it converges."""
     r = state.label.shape[0]
     slots = jnp.arange(r, dtype=jnp.int32)
-    root = state.label
     has_c = constr >= 0
     cid = jnp.clip(constr, 0, r - 1)
-    rep = jax.ops.segment_min(jnp.where(has_c, root, _I32MAX), cid,
-                              num_segments=r)
-    tgt = jnp.where(has_c, rep[cid], _I32MAX)
-    partner = jax.ops.segment_min(
-        jnp.where(has_c & (tgt != root), tgt, _I32MAX), root,
-        num_segments=r)
-    hook = (partner < _I32MAX) & (partner < slots)
-    parent = jnp.where(hook, partner, slots)
-    root2 = cc.pointer_jump(parent)
-    return state._replace(label=root2[state.label])
+
+    def one_pass(root):
+        rep = jax.ops.segment_min(jnp.where(has_c, root, _I32MAX), cid,
+                                  num_segments=r)
+        tgt = jnp.where(has_c, rep[cid], _I32MAX)
+        partner = jax.ops.segment_min(
+            jnp.where(has_c & (tgt != root), tgt, _I32MAX), root,
+            num_segments=r)
+        hook = (partner < _I32MAX) & (partner < slots)
+        parent = jnp.where(hook, partner, slots)
+        root2 = cc.pointer_jump(parent)[root]
+        return root2, jnp.any(root2 != root)
+
+    def cond(carry):
+        _, changed, i = carry
+        return changed & (i < 32)
+
+    def body(carry):
+        root, _, i = carry
+        root2, changed = one_pass(root)
+        return root2, changed, i + 1
+
+    root, _, _ = jax.lax.while_loop(
+        cond, body, (state.label, jnp.bool_(True), jnp.int32(0)))
+    return state._replace(label=root)
 
 
 def _level_step(state: AggloState, edges, evalid, constr, is_level0,

@@ -178,6 +178,10 @@ class DenseSegmentation:
         # into tile-local regions before the global solver (VMEM-resident
         # flooding; the merges are ones the reference performs
         # unconditionally, pixel_distance.h:487-491).
+        import os
+        import time
+        timing = os.environ.get("VST_TIMING")
+        t_pre0 = time.monotonic()
         tile_init = None
         tile_fin = None
         if self.options.tile_presegment or self._params.edge_table:
@@ -187,6 +191,8 @@ class DenseSegmentation:
                     vol, schedule=self._params.preseg_schedule,
                     merge_threshold=self._params.merge_threshold,
                     metric=self.options.color_distance)
+                if timing:
+                    tile_init.block_until_ready()
                 if not self._params.carry_preseg_fin:
                     tile_fin = None
             else:
@@ -253,19 +259,19 @@ class DenseSegmentation:
         elif tile_init is not None:
             init_label = tile_init
 
-        import os
-        import time
         t_solve0 = time.monotonic()
         res = ov.oversegment(vol, flow=flow, constraints=constraints,
                              init_label=init_label, frozen=frozen,
                              fin=tile_fin, params=self._params)
         labels = np.asarray(res.label)[:t]
         constr_all = np.asarray(res.constr)
-        if os.environ.get("VST_TIMING"):
+        t_solve1 = time.monotonic()
+        if timing:
             import sys
-            print(f"[timing] chunk {self._chunk_id} solve "
+            print(f"[timing] chunk {self._chunk_id} preseg "
+                  f"{t_solve0 - t_pre0:.2f}s solve "
                   f"({'constrained' if constraints is not None else 'free'})"
-                  f" {time.monotonic() - t_solve0:.2f}s", file=sys.stderr)
+                  f" {t_solve1 - t_solve0:.2f}s", file=sys.stderr)
         if os.environ.get("VST_VERBOSE"):
             # Merge statistics in the spirit of the reference's per-run
             # summary (segmentation_graph.h:452-462): region count, share
@@ -352,6 +358,10 @@ class DenseSegmentation:
                 hierarchy=[hier] if local == self._chunk_start else None,
                 frame_index=global_frame0 + local))
         self._num_output_frames += len(results)
+        if timing:
+            import sys
+            print(f"[timing] chunk {self._chunk_id} dense-host-tail "
+                  f"{time.monotonic() - t_solve1:.2f}s", file=sys.stderr)
 
         # Prepare next chunk state.
         if flush:

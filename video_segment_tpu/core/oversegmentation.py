@@ -229,7 +229,11 @@ def _fold_dirs_raw(feats, label3, flow, metric, spatial_dirs,
     xs = jnp.arange(w)[None, None, :]
     ts = jnp.arange(t)[:, None, None]
 
-    dirs = _shift_dir_list(spatial_dirs, flow is None or t == 1,
+    # Temporal directions exist only for t>1: at t==1 folding them anyway
+    # would advance the caller's fold counter past its sized table (e.g.
+    # _extract_edges' d_cols) and clobber valid columns via clamped
+    # dynamic_update_slice starts.
+    dirs = _shift_dir_list(spatial_dirs, flow is None and t > 1,
                            include_temporal_fwd and t > 1)
 
     # One-time halo pad; each scanned direction is then a single

@@ -8,14 +8,13 @@ agglomerates hierarchy levels, and re-emits frames whose Region2D are the
 level-cut regions with the multi-level hierarchy attached
 (chunk-set boundary logic: region_segmentation.cpp:97-365).
 
-Cross-set hierarchy continuity: instead of the reference's staggered
-dual-Segmentation counterpart exchange (region_segmentation.cpp:143-197),
-every hierarchy region's id is the *minimum over-segmentation region id* of
-its members.  Over-segmentation ids are temporally consistent (dense-stage
-constraints), so a region spanning a set seam keeps the same id in both sets
-with high probability, which is what downstream consumers
-(BuildGlobalHierarchy) need; exact counterpart constraints can tighten this
-later.
+Cross-set hierarchy continuity uses both halves of the reference's staggered
+counterpart exchange (region_segmentation.cpp:143-197): overlap-chunk
+regions grouped together at level l of the previous set are force-merged at
+level l of the next set (counterpart constraints, see `_process_set` /
+agglomeration skeleton merges), and groups inherit the previous set's
+hierarchy ids where the carrying region persists (`_inherit_ids`); new
+groups take the minimum over-segmentation region id of their members.
 
 Descriptor bookkeeping: per-chunk histogram tables are accumulated on device
 once per chunk (keyed by chunk-local region index) and cached on the host,
@@ -216,6 +215,8 @@ class RegionSegmentation:
     # -- chunk bookkeeping ------------------------------------------------
 
     def _close_chunk(self):
+        import os
+        import time
         frames = self._open_frames
         self._open_frames = []
         hier = frames[0].hierarchy[0]
@@ -223,7 +224,13 @@ class RegionSegmentation:
             frames=frames, gids=hier.ids.astype(np.int64),
             sizes=hier.sizes, start_frames=hier.start_frames,
             end_frames=hier.end_frames, neighbor_pairs=hier.neighbor_pairs)
+        t0 = time.monotonic()
         self._accumulate_chunk(chunk)
+        if os.environ.get("VST_TIMING"):
+            import sys
+            print(f"[timing] region accumulate_chunk "
+                  f"{time.monotonic() - t0:.2f}s ({len(chunk.gids)} regions)",
+                  file=sys.stderr)
         self._chunks.append(chunk)
 
     def _accumulate_chunk(self, chunk: _ChunkData):
@@ -275,6 +282,11 @@ class RegionSegmentation:
         if wsz > 0:
             wins = sorted({sf.frame_index // wsz for sf in chunk.frames})
             wcap = len(wins) + 1
+            if wcap * rcap * self.num_color_bins >= 2 ** 31:
+                raise ValueError(
+                    f"windowed appearance table too large: {wcap} windows * "
+                    f"{rcap} regions * {self.num_color_bins} bins would "
+                    f"overflow int32 scatter keys")
             slot_of = {g: i for i, g in enumerate(wins)}
             win_slot = np.full(tpad, wcap - 1, np.int32)
             gains = np.ones((tpad, 3), np.float32)
@@ -391,6 +403,10 @@ class RegionSegmentation:
                         carr[hidx] = inv.astype(np.int32)
                 constraints.append(carr)
 
+        import os
+        import time
+        timing = os.environ.get("VST_TIMING")
+        t_ag0 = time.monotonic()
         levels_raw = agglomeration.agglomerate(
             hist, fh, fc, sizes, edges, r,
             min_region_num=opts.min_region_num,
@@ -401,6 +417,12 @@ class RegionSegmentation:
             constraints=constraints, win_hist=whist, win_cnt=wcnt)
         if not levels_raw:
             levels_raw = [np.arange(rcap, dtype=np.int32)]
+        if timing:
+            import sys
+            print(f"[timing] region agglomerate {time.monotonic() - t_ag0:.2f}s"
+                  f" ({r} regions, {len(pairs)} edges, "
+                  f"{len(levels_raw)} levels)", file=sys.stderr)
+        t_emit0 = time.monotonic()
 
         # Per-level ids: minimum member over-segmentation gid, then inherit
         # the previous set's ids where the carrying region persisted
@@ -457,6 +479,11 @@ class RegionSegmentation:
                 hierarchy=hierarchy if k == 0 else None,
                 frame_index=sf.frame_index))
         self._set_id += 1
+        if timing:
+            import sys
+            print(f"[timing] region set-emit "
+                  f"{time.monotonic() - t_emit0:.2f}s "
+                  f"({len(results)} frames)", file=sys.stderr)
         return results
 
     def _inherit_ids(self, levels_raw, level_ids, all_gids, sizes, r):

@@ -48,6 +48,27 @@ class SegmentationWriter:
             self._file.write(struct.pack("<i", int(f)))
         return True
 
+    def open_for_append(self, offset: int, num_chunks: int) -> bool:
+        """Reopen an existing container to continue after `num_chunks`
+        complete chunks ending at byte `offset` (as recorded by `tell()`
+        after a `write_chunk`).  Anything after the offset (e.g. a TERM
+        from an interrupted close) is truncated."""
+        try:
+            self._file = open(self._filename, "r+b")
+        except OSError:
+            return False
+        self._file.seek(offset)
+        self._file.truncate(offset)
+        self._num_chunks = num_chunks
+        return True
+
+    def tell(self) -> int:
+        return self._file.tell()
+
+    @property
+    def num_chunks(self) -> int:
+        return self._num_chunks
+
     def add_to_chunk(self, payload: bytes, pts: int = 0) -> None:
         self._chunk_payloads.append(payload)
         self._chunk_pts.append(int(pts))

@@ -96,6 +96,16 @@ def save(path: str, dense, region=None, frames_consumed: int = 0,
         pickle.dump(state, f, protocol=pickle.HIGHEST_PROTOCOL)
 
 
+def load_extra(path: str) -> dict:
+    """Read only the caller-supplied `extra` block of a checkpoint (e.g.
+    output-writer position for append-on-resume)."""
+    with open(path, "rb") as f:
+        state = pickle.load(f)
+    if state.get("magic") != _MAGIC:
+        raise ValueError(f"{path} is not a video_segment_tpu checkpoint")
+    return state.get("extra", {})
+
+
 def restore(path: str, dense, region=None) -> int:
     """Restore driver state in place; returns frames_consumed."""
     with open(path, "rb") as f:

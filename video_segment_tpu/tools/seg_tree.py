@@ -118,7 +118,22 @@ def main(argv=None):
     if args.write_to_file:
         out_path = args.output_file or (args.input_file + ".pb")
         writer = seg_io.SegmentationWriter(out_path)
-        if not writer.open_file(header_flags=[0, 1]):
+        ckpt_extra = {}
+        if args.resume:
+            from video_segment_tpu.runtime import checkpoint as ckpt_mod
+            ckpt_extra = ckpt_mod.load_extra(args.checkpoint_path)
+        if ckpt_extra.get("writer_offset"):
+            # Continue the partially written container after its last
+            # complete chunk instead of truncating it from the top.
+            ok = writer.open_for_append(ckpt_extra["writer_offset"],
+                                        ckpt_extra["writer_chunks"])
+        elif args.resume and resume_from > 0 and os.path.exists(out_path):
+            sys.exit(f"--resume would truncate {out_path} (checkpoint "
+                     f"carries no writer position); move it aside or use "
+                     f"--output_file")
+        else:
+            ok = writer.open_file(header_flags=[0, 1])
+        if not ok:
             print(f"cannot open {out_path}", file=sys.stderr)
             return 1
 
@@ -257,8 +272,19 @@ def main(argv=None):
                     and ds._chunk_id > last_ckpt_chunk
                     and ds._chunk_id % args.checkpoint_every == 0):
                 from video_segment_tpu.runtime import checkpoint as ckpt_mod
+                # Frames still buffered inside the flow engine have not
+                # reached the dense/region stages; resume must re-feed them.
+                n_done = n_in - (len(flow_fn._pending)
+                                 if flow_fn is not None else 0)
+                extra = {}
+                if writer is not None:
+                    # Flush buffered frames so the container ends on a
+                    # complete chunk; record the position for append.
+                    writer.write_chunk()
+                    extra = {"writer_offset": writer.tell(),
+                             "writer_chunks": writer.num_chunks}
                 ckpt_mod.save(args.checkpoint_path, ds, region_stage,
-                              frames_consumed=n_in)
+                              frames_consumed=n_done, extra=extra)
                 last_ckpt_chunk = ds._chunk_id
         out = []
         for pair in flow_flush():
