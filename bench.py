@@ -27,10 +27,13 @@ BASELINE_FPS = 4.06  # measured: reference CPU pipeline, this clip, flow off
 
 def run_pipeline(frames, width, height, use_flow=False,
                  over_segment_only=False):
+    """Threaded stage chain (flow | dense | region | emit), matching
+    seg_tree --use_pipeline: host RLE/proto work overlaps device solves."""
     from video_segment_tpu.core import dense, region
     from video_segment_tpu.core.options import (DenseSegmentationOptions,
                                                 RegionSegmentationOptions)
     from video_segment_tpu.dataio import emit
+    from video_segment_tpu.runtime import pipeline as pl
 
     ds = dense.DenseSegmentation(DenseSegmentationOptions(), width, height)
     rs = (_NullRegion() if over_segment_only
@@ -41,25 +44,32 @@ def run_pipeline(frames, width, height, use_flow=False,
         from video_segment_tpu.core import flow as flow_mod
         flow_eng = flow_mod.FlowEngine(width, height)
 
+    def _emit_flow(ready):
+        out = []
+        for idx, frame, fl in ready:
+            rs.add_frame(idx, frame, fl)
+            out.append((frame, fl))
+        return out
+
+    def flow_stage(item):
+        idx, frame = item
+        if flow_eng is None:
+            return _emit_flow([(idx, frame, None)])
+        return _emit_flow(flow_eng.push(frame, idx))
+
+    def flow_flush():
+        return _emit_flow(flow_eng.flush()) if flow_eng is not None else []
+
+    stages = [pl.Stage("flow", flow_stage, flush=flow_flush),
+              pl.Stage("dense", lambda pair: ds.process_frame(False, *pair),
+                       flush=lambda: ds.process_frame(True)),
+              pl.Stage("region", lambda sf: rs.process_frames(False, [sf]),
+                       flush=lambda: rs.process_frames(True, []))]
+    pipe = pl.Pipeline(stages, queue_size=10)
+
     payload_bytes = 0
     n_out = 0
-    def consume(i, fr, fl):
-        nonlocal payload_bytes, n_out
-        rs.add_frame(i, fr, fl)
-        for sf in rs.process_frames(False, ds.process_frame(False, fr, fl)):
-            payload_bytes += len(emit.segframe_to_bytes(sf))
-            n_out += 1
-
-    for i, fr in enumerate(frames):
-        if flow_eng is None:
-            consume(i, fr, None)
-        else:
-            for j, f2, fl in flow_eng.push(fr, i):
-                consume(j, f2, fl)
-    if flow_eng is not None:
-        for j, f2, fl in flow_eng.flush():
-            consume(j, f2, fl)
-    for sf in rs.process_frames(True, ds.process_frame(True)):
+    for sf in pipe.run(enumerate(frames)):
         payload_bytes += len(emit.segframe_to_bytes(sf))
         n_out += 1
     return n_out, payload_bytes

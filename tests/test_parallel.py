@@ -72,3 +72,36 @@ def test_halo_exchange_rows(mesh8):
         nxt = rows[-1] if s == 3 else rows[-1] + 1
         expected += [prev] + rows + [nxt]
     np.testing.assert_array_equal(out, np.asarray(expected, np.float32))
+
+
+def test_sharded_oversegment_matches_banded_single(rng, mesh8):
+    """The mesh-sharded banded solve (bands on the "space" axis) must
+    produce exactly the single-device banded labels."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from video_segment_tpu.core import oversegmentation as ov
+
+    b, t, h, w = 2, 3, 32, 16
+    vol = np.zeros((b, t, h, w, 3), np.float32)
+    colors = rng.random((b, 3, 3)).astype(np.float32)
+    for ci in range(b):
+        vol[ci, :, :, : w // 2] = colors[ci, 0]
+        vol[ci, :, :, w // 2:] = colors[ci, 1]
+        vol[ci, :, h // 2 - 4:h // 2 + 4, 2:7] = colors[ci, 2]
+    flow = np.zeros((b, t - 1, h, w, 2), np.float32)
+
+    params = ov.OversegParams(min_region_size=1, table_divisor=2,
+                              preseg_schedule=(4,), edge_topk=8)
+    fn = pmesh.sharded_oversegment(mesh8, params)
+    sharded = np.asarray(fn(
+        jax.device_put(jnp.asarray(vol), NamedSharding(
+            mesh8, P("data", None, "space", None, None))),
+        jax.device_put(jnp.asarray(flow), NamedSharding(
+            mesh8, P("data", None, "space", None, None)))))
+
+    space = dict(zip(mesh8.axis_names, mesh8.devices.shape))["space"]
+    for ci in range(b):
+        single = np.asarray(ov.oversegment(
+            jnp.asarray(vol[ci]),
+            params=params._replace(bands=space)).label)
+        np.testing.assert_array_equal(sharded[ci], single)

@@ -80,14 +80,38 @@ class DenseSegmentation:
         if options.chunk_size < 3:
             raise ValueError("chunk_size needs to be at least 3 frames")
         options = dataclasses.replace(options)
-        max_chunk = options.max_solve_voxels // max(frame_width
-                                                    * frame_height, 1) - 1
-        if options.chunk_size > max(3, max_chunk):
+        base = solver_params or ov.OversegParams()
+        # Large-resolution chunks: split the solve's pixel phases into
+        # spatial row bands (bounding peak memory to one band) instead of
+        # shrinking the chunk below the reference's 20-frame geometry
+        # (dense_segmentation.h:64-75).  Bands must align to 8-row preseg
+        # subtiles; the padded rows replicate the bottom image row.
+        self._bands = 1
+        self._pad_rows = 0
+        t_solve_full = options.chunk_size + 1
+        chunk_vox = t_solve_full * frame_width * frame_height
+        if base.edge_table and chunk_vox > options.max_solve_voxels:
+            unit_vox = 8 * frame_width * t_solve_full
+            u_max = max(1, options.max_solve_voxels // unit_vox)
+            units = -(-frame_height // 8)
+            bands = min(-(-units // u_max), 16)
+            u = -(-units // bands)
+            self._bands = bands
+            self._pad_rows = bands * u * 8 - frame_height
             import sys
-            print(f"[dense] chunk_size {options.chunk_size} -> "
-                  f"{max(3, max_chunk)} to respect max_solve_voxels at "
-                  f"{frame_width}x{frame_height}", file=sys.stderr)
-            options.chunk_size = max(3, max_chunk)
+            print(f"[dense] solving {frame_width}x{frame_height} in "
+                  f"{bands} row bands (+{self._pad_rows} pad rows)",
+                  file=sys.stderr)
+        elif not base.edge_table:
+            max_chunk = options.max_solve_voxels // max(frame_width
+                                                        * frame_height,
+                                                        1) - 1
+            if options.chunk_size > max(3, max_chunk):
+                import sys
+                print(f"[dense] chunk_size {options.chunk_size} -> "
+                      f"{max(3, max_chunk)} to respect max_solve_voxels "
+                      f"at {frame_width}x{frame_height}", file=sys.stderr)
+                options.chunk_size = max(3, max_chunk)
         self.options = options
         self.frame_width = frame_width
         self.frame_height = frame_height
@@ -95,11 +119,11 @@ class DenseSegmentation:
         self.constraint_frames = options.constraint_frames()
         self.min_region_size = options.min_region_size(frame_width,
                                                        frame_height)
-        base = solver_params or ov.OversegParams()
         self._params = base._replace(
             min_region_size=self.min_region_size,
             metric=options.color_distance,
             two_stage=options.two_stage_oversegment,
+            bands=self._bands,
             force_merge_weight=0.002 if options.color_distance == "l1"
             else 0.001)
         self._preseg_mode = options.preseg_mode
@@ -165,6 +189,13 @@ class DenseSegmentation:
         t_solve = t_small if t <= t_small else self.options.chunk_size + 1
         pad = t_solve - t
         vol = jnp.stack(self._buffer + [self._buffer[-1]] * pad)
+        # Banded solves pad H to the band grid, replicating the bottom row
+        # (pad pixels merge into the bottom-edge regions; outputs are
+        # sliced back to the true height).
+        hp = h + self._pad_rows
+        if self._pad_rows:
+            vol = jnp.pad(vol, ((0, 0), (0, self._pad_rows), (0, 0),
+                                (0, 0)), mode="edge")
 
         flow = None
         if self._has_flow and t > 1:
@@ -172,7 +203,11 @@ class DenseSegmentation:
             if any(f is None for f in tail):
                 raise ValueError("flow must be passed for every frame or none")
             zero = np.zeros_like(tail[0])
-            flow = jnp.asarray(np.stack(tail + [zero] * pad))
+            flow = np.stack(tail + [zero] * pad)
+            if self._pad_rows:
+                flow = np.pad(flow, ((0, 0), (0, self._pad_rows), (0, 0),
+                                     (0, 0)), mode="edge")
+            flow = jnp.asarray(flow)
 
         # Pallas tile pre-segmentation: collapse force-merge-similar pixels
         # into tile-local regions before the global solver (VMEM-resident
@@ -210,9 +245,12 @@ class DenseSegmentation:
         constraints = init_label = frozen = None
         cid_to_gid = np.zeros(0, np.int64)
         if self._overlap_gids:
-            constraints_np = np.full((t_solve, h, w), -1, np.int32)
-            frozen_np = np.zeros((t_solve, h, w), bool)
+            constraints_np = np.full((t_solve, hp, w), -1, np.int32)
+            frozen_np = np.zeros((t_solve, hp, w), bool)
             planes = np.stack(self._overlap_gids)  # (overlap, H, W) gids
+            if self._pad_rows:
+                planes = np.pad(planes, ((0, 0), (0, self._pad_rows),
+                                         (0, 0)), mode="edge")
             cid_to_gid, compact = np.unique(planes, return_inverse=True)
             if len(cid_to_gid) > self._params.max_constraints:
                 raise ValueError(
@@ -222,14 +260,21 @@ class DenseSegmentation:
             n_constrained = 1 + self.constraint_frames
             constraints_np[:n_constrained] = compact[:n_constrained]
             frozen_np[0] = True
-            # Pre-merge plane 0 per region: canonical voxel per compact id.
-            init_np = np.arange(t_solve * h * w,
-                                dtype=np.int32).reshape(t_solve, h, w)
-            plane0 = compact[0].ravel()
-            uniq, first = np.unique(plane0, return_index=True)
-            canonical = np.full(len(cid_to_gid), -1, np.int64)
-            canonical[uniq] = first  # flat index within plane 0
-            init_np[0] = canonical[plane0].reshape(h, w).astype(np.int32)
+            # Pre-merge plane 0: canonical voxel per compact id — per
+            # (id, band) in banded solves, since band-local seed
+            # compaction requires init roots inside their own band (the
+            # band groups rejoin via the frozen-group constraint merge).
+            init_np = np.arange(t_solve * hp * w,
+                                dtype=np.int32).reshape(t_solve, hp, w)
+            key0 = compact[0].astype(np.int64)
+            if self._bands > 1:
+                bh = hp // self._bands
+                key0 = (key0 * self._bands
+                        + (np.arange(hp) // bh)[:, None])
+            key0 = key0.ravel()
+            uniq, first = np.unique(key0, return_index=True)
+            init_np[0] = first[np.searchsorted(uniq, key0)] \
+                .reshape(hp, w).astype(np.int32)
             constraints = jnp.asarray(constraints_np)
             init_label = jnp.asarray(init_np)
             frozen = jnp.asarray(frozen_np)
@@ -240,7 +285,8 @@ class DenseSegmentation:
                 # locally similar AND share a constraint merge
                 # unconditionally anyway (same-constraint merges below the
                 # split threshold), and per-pixel seeding would overflow
-                # the solver's region table at larger frames.
+                # the solver's region table at larger frames.  Preseg
+                # regions never span bands, so these stay band-local.
                 tile_np = np.asarray(tile_init)
                 for pl_i in range(1, n_constrained):
                     key = (tile_np[pl_i].astype(np.int64).ravel()
@@ -248,8 +294,8 @@ class DenseSegmentation:
                            + compact[pl_i].ravel() + 1)
                     uniq, first = np.unique(key, return_index=True)
                     canon = first[np.searchsorted(uniq, key)]
-                    init_np[pl_i] = (pl_i * h * w
-                                     + canon).reshape(h, w).astype(np.int32)
+                    init_np[pl_i] = (pl_i * hp * w
+                                     + canon).reshape(hp, w).astype(np.int32)
                 init_label = jnp.asarray(init_np)
                 plane = jnp.arange(t_solve)[:, None, None]
                 init_label = jnp.where(plane < n_constrained, init_label,
@@ -259,11 +305,36 @@ class DenseSegmentation:
         elif tile_init is not None:
             init_label = tile_init
 
+        # Live-seed count -> quantized static table size (every table-phase
+        # round costs O(table), so the table tracks the true region count;
+        # 32k quantization keeps the compiled-program count per resolution
+        # small).
+        params = self._params
+        if params.edge_table and init_label is not None:
+            q = 16384
+            flat = init_label.reshape(-1)
+            if self._bands > 1:
+                bh = hp // self._bands
+                isr = (flat == jnp.arange(flat.shape[0])).reshape(
+                    t_solve, self._bands, bh, w)
+                n_seeds = int(jnp.max(jnp.sum(isr, axis=(0, 2, 3))))
+                cap_b = ((n_seeds + 1024 + q - 1) // q) * q
+                params = params._replace(
+                    band_table_slots=min(cap_b, t_solve * bh * w))
+            else:
+                if isinstance(flat, np.ndarray):
+                    n_seeds = int((flat == np.arange(len(flat))).sum())
+                else:
+                    n_seeds = int((flat == jnp.arange(flat.shape[0])).sum())
+                slots = ((n_seeds + 1024 + q - 1) // q) * q
+                params = params._replace(
+                    table_slots=min(slots, t_solve * hp * w))
+
         t_solve0 = time.monotonic()
         res = ov.oversegment(vol, flow=flow, constraints=constraints,
                              init_label=init_label, frozen=frozen,
-                             fin=tile_fin, params=self._params)
-        labels = np.asarray(res.label)[:t]
+                             fin=tile_fin, params=params)
+        labels = np.asarray(res.label)[:t, :h]
         constr_all = np.asarray(res.constr)
         t_solve1 = time.monotonic()
         if timing:

@@ -116,6 +116,36 @@ class OversegParams(NamedTuple):
     # the edge-table solver (bucket ~20 of 2048: merges the reference would
     # accept at its earliest levels; region means cannot drift materially).
     preseg_threshold: float = 0.01
+    # Static edge-table size for the v2 solver; 0 = derive from
+    # n_pix/table_divisor.  Callers (core/dense.py) count the live preseg
+    # seeds per chunk and pass a quantized bucket, so the table tracks the
+    # actual region count instead of a worst-case pixel fraction — every
+    # table-phase round costs O(table), so this is the solve's main
+    # throughput lever.  Quantization keeps the program count per
+    # resolution small (the compile-cache invariant).
+    table_slots: int = 0
+    # Spatial row-band decomposition of the pixel phases (init, edge
+    # extraction).  bands>1 splits H into equal bands processed one at a
+    # time (lax.map), bounding peak pixel-phase memory to one band — this
+    # is what restores 20-frame chunks at 720p/1080p
+    # (dense_segmentation.h:64-75 geometry) where a monolithic solve
+    # crashes the TPU worker.  Band boundaries must fall on multiples of 8
+    # rows (the tile preseg's subtile height) so preseg regions never span
+    # bands.  Cross-band adjacency is restored by a boundary-row edge pass
+    # (spatial + undisplaced-temporal crossing directions); flow-displaced
+    # temporal edges are clamped within their band — a one-row
+    # approximation at B-1 seams.  The table phases run globally, so the
+    # merge semantics away from extraction are identical to bands=1.
+    bands: int = 1
+    # Per-band table slots when bands>1 (live preseg seeds are counted per
+    # chunk and the max over bands is used, quantized).
+    band_table_slots: int = 0
+    # Process bands with vmap instead of a sequential lax.map: all bands
+    # resident at once, so the band dimension can be sharded over a device
+    # mesh "space" axis (parallel/mesh.sharded_oversegment) — the
+    # multi-chip spatial decomposition of the solve.  Single chip keeps
+    # the sequential map (bounded memory).
+    bands_vmap: bool = False
     # Bucket schedule of the tile-local felz pre-solve.  Deliberately
     # SHALLOW: deep local schedules finalize regions on high-bucket
     # in-tile edges before the global phase can merge their low-bucket
@@ -493,39 +523,66 @@ def _level_end(state: SolverState, vol, flow, theta, n, p: OversegParams,
 
 _PARTNER_BITS = 20
 _PARTNER_MASK = (1 << _PARTNER_BITS) - 1
+_MAX_TABLE = 1 << 22  # widest packable table (coarse-bucket mode)
 
 
-def _extract_edges(memb3, vol, flow, nseg, sink, p):
+def _pack_spec(nseg: int):
+    """Packing layout for (bucket, partner) int32 keys, by table size.
+
+    Tables up to 2^20 slots pack the full 11-bit bucket above 20 partner
+    bits.  Larger tables (high-resolution banded solves) use 22 partner
+    bits with the bucket coarsened by 4 (9 bits) — the lexicographic
+    (bucket, partner) tie-break then resolves within 4-bucket groups,
+    a <0.2% weight-resolution loss.  Returns (partner_bits, bucket_shift).
+    """
+    if nseg <= (1 << _PARTNER_BITS):
+        return _PARTNER_BITS, 0
+    if nseg > _MAX_TABLE:
+        raise ValueError(f"edge table {nseg} exceeds packable {_MAX_TABLE}; "
+                         "split the solve into more spatial bands")
+    return 22, 2
+
+
+def _extract_edges(memb3, vol, flow, nseg, sink, p, global_base: int = 0,
+                   tab=None, col0: int = 0, pack_domain: int | None = None):
     """One-time region-adjacency extraction from pixel space.
 
     For every stencil direction, aggregates the minimum-bucket pixel edge
     per (region, direction) from both endpoint views via packed int32
-    segment-mins (bucket in the high bits, partner id in the low
-    _PARTNER_BITS — the same lexicographic (bucket, partner) tie-break the
-    per-round selection uses).  Returns packed (D, nseg) int32, _I32MAX
-    where absent.
+    segment-mins (bucket in the high bits, partner id in the low partner
+    bits — the same lexicographic (bucket, partner) tie-break the per-round
+    selection uses).  Returns packed (D, nseg) int32, _I32MAX where absent.
+
+    `global_base` offsets packed partner ids (banded solves extract with
+    band-local segment keys but globally addressed partners).  `tab`/`col0`
+    let callers append into an existing wider table (boundary passes).
     """
     t, h, w, _ = vol.shape
+    bits, bshift = _pack_spec(pack_domain if pack_domain is not None
+                              else nseg)
     memb_flat = memb3.reshape(-1)
     n_dirs = len(SPATIAL_FWD) + (len(TEMPORAL_DIRS) if t > 1 else 0)
     d_cols = 2 * n_dirs
 
     def fold(carry, d: _RawDir):
-        tab, k = carry
+        tb, k = carry
         ok = (d.valid & (d.nb_label != memb3)
               & (memb3 != sink) & (d.nb_label != sink))
-        bkt = jnp.minimum(d.bucket, NUM_BUCKETS - 2)
-        pk_a = jnp.where(ok, (bkt << _PARTNER_BITS) | d.nb_label, _I32MAX)
-        pk_b = jnp.where(ok, (bkt << _PARTNER_BITS) | memb3, _I32MAX)
+        bkt = jnp.minimum(d.bucket, NUM_BUCKETS - 2) >> bshift
+        pk_a = jnp.where(ok, (bkt << bits) | (d.nb_label + global_base),
+                         _I32MAX)
+        pk_b = jnp.where(ok, (bkt << bits) | (memb3 + global_base), _I32MAX)
         e_a = jax.ops.segment_min(pk_a.reshape(-1), memb_flat,
                                   num_segments=nseg)
         e_b = jax.ops.segment_min(pk_b.reshape(-1), d.nb_label.reshape(-1),
                                   num_segments=nseg)
-        tab = jax.lax.dynamic_update_slice(tab, e_a[None], (2 * k, 0))
-        tab = jax.lax.dynamic_update_slice(tab, e_b[None], (2 * k + 1, 0))
-        return tab, k + 1
+        tb = jax.lax.dynamic_update_slice(tb, e_a[None], (col0 + 2 * k, 0))
+        tb = jax.lax.dynamic_update_slice(tb, e_b[None],
+                                          (col0 + 2 * k + 1, 0))
+        return tb, k + 1
 
-    tab = jnp.full((d_cols, nseg), _I32MAX, jnp.int32)
+    if tab is None:
+        tab = jnp.full((d_cols, nseg), _I32MAX, jnp.int32)
     tab, _ = _fold_dirs_raw(vol, memb3, flow, p.metric, SPATIAL_FWD, False,
                             fold, (tab, jnp.int32(0)))
     return tab
@@ -538,6 +595,9 @@ def _topk_edges(tab, k):
              bucket (nseg,K) int32 with large sentinel absent).
     Duplicate (bucket, partner) entries collapse (same packed value).
     """
+    nseg = tab.shape[1]
+    bits, bshift = _pack_spec(nseg)
+    pmask = (1 << bits) - 1
     cur = tab.T  # (nseg, D)
     d = cur.shape[1]
     k = min(k, d)
@@ -547,8 +607,8 @@ def _topk_edges(tab, k):
         m = jnp.min(cur, axis=1)
         cur = jnp.where(cur == m[:, None], _I32MAX, cur)
         valid = m < _I32MAX
-        parts.append(jnp.where(valid, m & _PARTNER_MASK, _I32MAX))
-        bkts.append(jnp.where(valid, m >> _PARTNER_BITS, NUM_BUCKETS))
+        parts.append(jnp.where(valid, m & pmask, _I32MAX))
+        bkts.append(jnp.where(valid, (m >> bits) << bshift, NUM_BUCKETS))
     return jnp.stack(parts, axis=1), jnp.stack(bkts, axis=1)
 
 
@@ -563,12 +623,12 @@ def _table_round(ts: SolverState, ptn, pbk, theta, up, mode, nseg, sink,
     """
     root = ts.label
     k = ptn.shape[1]
+    bits, _ = _pack_spec(nseg)
+    use_var = p.descriptor == "color_mean_variance"
     mean = ts.csum / jnp.maximum(ts.size, 1.0)[:, None]
-    var = ts.sqsum / jnp.maximum(ts.size, 1.0)[:, None] - mean * mean
 
     own = root                                   # (nseg,) current root of slot
     own_mean = mean[own]
-    own_var = var[own]
     own_size = ts.size[own]
     own_constr = ts.constr[own]
     own_fin = ts.fin[own]
@@ -576,13 +636,18 @@ def _table_round(ts: SolverState, ptn, pbk, theta, up, mode, nseg, sink,
     ptn_c = jnp.minimum(ptn, nseg - 1)
     a2 = root[ptn_c]                             # (nseg,K) partner roots
     nb_mean = mean[a2]
-    nb_var = var[a2]
     nb_constr = ts.constr[a2]
     nb_fin = ts.fin[a2]
+    if use_var:
+        var = ts.sqsum / jnp.maximum(ts.size, 1.0)[:, None] - mean * mean
+        own_var = var[own][:, None, :]
+        nb_var = var[a2]
+    else:
+        own_var = nb_var = None
 
     live = (ptn < _I32MAX) & (a2 != own[:, None]) \
         & (own[:, None] != sink) & (a2 != sink)
-    dd = _trait_distance(own_mean[:, None, :], own_var[:, None, :],
+    dd = _trait_distance(own_mean[:, None, :], own_var,
                          nb_mean, nb_var, pbk, p)
 
     either_free = (own_constr[:, None] < 0) | (nb_constr < 0)
@@ -597,11 +662,13 @@ def _table_round(ts: SolverState, ptn, pbk, theta, up, mode, nseg, sink,
     is_min_size = mode == MODE_MIN_SIZE
     adm = live & jnp.where(is_min_size, adm_small, adm_merge)
 
-    packed = jnp.where(adm, (jnp.minimum(pbk, NUM_BUCKETS - 2)
-                             << _PARTNER_BITS) | a2, _I32MAX)
+    _, bshift = _pack_spec(nseg)
+    packed = jnp.where(adm, ((jnp.minimum(pbk, NUM_BUCKETS - 2) >> bshift)
+                             << bits) | a2, _I32MAX)
     best_slot = jnp.min(packed, axis=1)          # (nseg,)
     r_best = jax.ops.segment_min(best_slot, own, num_segments=nseg)
-    partner = jnp.where(r_best < _I32MAX, r_best & _PARTNER_MASK, _I32MAX)
+    partner = jnp.where(r_best < _I32MAX, r_best & ((1 << bits) - 1),
+                        _I32MAX)
     return _apply_merge(ts, partner, nseg, up=up)
 
 
@@ -611,30 +678,35 @@ def _table_level_end(ts: SolverState, tab, theta, nseg, sink,
     (mirrors `_level_end`; both endpoint views are table columns, so each
     side of an edge gets flagged from its own anchor)."""
     root = ts.label
+    bits, bshift = _pack_spec(nseg)
+    use_var = p.descriptor == "color_mean_variance"
     mean = ts.csum / jnp.maximum(ts.size, 1.0)[:, None]
-    var = ts.sqsum / jnp.maximum(ts.size, 1.0)[:, None] - mean * mean
     own = root
     own_mean = mean[own]
-    own_var = var[own]
     own_size = ts.size[own]
     own_constr = ts.constr[own]
     own_fin = ts.fin[own]
     own_frozen = ts.frozen[own]
 
     pk = tab.T                                   # (nseg, D)
-    ptn = jnp.where(pk < _I32MAX, pk & _PARTNER_MASK, 0)
-    bkt = jnp.where(pk < _I32MAX, pk >> _PARTNER_BITS, NUM_BUCKETS)
+    ptn = jnp.where(pk < _I32MAX, pk & ((1 << bits) - 1), 0)
+    bkt = jnp.where(pk < _I32MAX, (pk >> bits) << bshift, NUM_BUCKETS)
     a2 = root[ptn]
     nb_mean = mean[a2]
-    nb_var = var[a2]
     nb_constr = ts.constr[a2]
     nb_fin = ts.fin[a2]
     nb_size = ts.size[a2]
+    if use_var:
+        var = ts.sqsum / jnp.maximum(ts.size, 1.0)[:, None] - mean * mean
+        own_var = var[own][:, None, :]
+        nb_var = var[a2]
+    else:
+        own_var = nb_var = None
 
     live = (pk < _I32MAX) & (a2 != own[:, None]) \
         & (own[:, None] != sink) & (a2 != sink)
     act = live & (bkt <= theta)
-    dd = _trait_distance(own_mean[:, None, :], own_var[:, None, :],
+    dd = _trait_distance(own_mean[:, None, :], own_var,
                          nb_mean, nb_var, bkt, p)
 
     either_free = (own_constr[:, None] < 0) | (nb_constr < 0)
@@ -737,6 +809,15 @@ def _solve(vol, flow, init_label, constr_init, frozen_init, fin_init,
     n_pix = t * h * w
     fl = flow if has_flow else None
 
+    if params.edge_table:
+        thetas_ = jnp.asarray(params.schedule, jnp.int32)
+        lr_ = jnp.asarray(
+            [params.max_rounds_per_level] * (len(params.schedule) - 1)
+            + [params.max_final_rounds], jnp.int32)
+        return _solve_edge_table(vol, fl, init_label, constr_init,
+                                 frozen_init, fin_init, params, n_pix,
+                                 thetas_, lr_, has_constraints)
+
     ones = jnp.ones(n_pix, jnp.float32)
     csum = jax.ops.segment_sum(vol.reshape(n_pix, 3), init_label,
                                num_segments=n_pix)
@@ -781,10 +862,6 @@ def _solve(vol, flow, init_label, constr_init, frozen_init, fin_init,
     level_rounds = jnp.asarray(
         [params.max_rounds_per_level] * (n_levels - 1)
         + [params.max_final_rounds], jnp.int32)
-
-    if params.edge_table:
-        return _solve_edge_table(vol, state, params, fl, n_pix,
-                                 thetas, level_rounds, has_constraints)
 
     def make_level_body(n, sink, use_temporal=True):
         def level_body(l, state):
@@ -844,32 +921,109 @@ def _solve(vol, flow, init_label, constr_init, frozen_init, fin_init,
                          constr=constr_out, size=size_out)
 
 
-def _solve_edge_table(vol, state, params, fl, n_pix, thetas,
-                      level_rounds, has_constraints):
-    """Edge-table phases of the v2 solver (see module docstring and the
-    OversegParams.edge_table comment).  `state` is the initial pixel-space
-    solver state; `fl` the flow or None."""
-    t, h, w, _ = vol.shape
-    # Constrained solves seed one plane of per-pixel constrained labels
-    # (plus the premerged frozen plane, bounded by max_constraints); the
-    # table must hold them on top of the preseg's regions or they overflow
-    # into the sink and fragment the output.  NOTE: at very large frames
-    # (h*w near 2^20) the partner-packing cap bites for constrained
-    # solves — callers bound chunk area via max_solve_voxels.
+def _table_cap(params: OversegParams, n_pix: int, h: int, w: int,
+               has_constraints: bool) -> int:
+    """Static table size: caller-provided live-count bucket, or the
+    worst-case pixel-fraction fallback."""
+    if params.table_slots:
+        return min(params.table_slots, n_pix, _MAX_TABLE - 2)
     extra = ((h * w) // 4 + params.max_constraints) if has_constraints \
         else 0
-    r_cap = min(max(n_pix // params.table_divisor, 1 << 14) + extra, n_pix,
-                _PARTNER_MASK - 1)
+    return min(max(n_pix // params.table_divisor, 1 << 14) + extra, n_pix,
+               _MAX_TABLE - 2)
+
+
+def _init_table(vol, init_label, constr_init, frozen_init, fin_init,
+                r_cap: int, has_constraints: bool, params: OversegParams):
+    """Fused seed-compaction: renumber self-rooted init labels into table
+    slots and aggregate region statistics directly there (one O(N) pass —
+    the former pixel-space init + `_compact` did it twice).
+
+    Returns (table SolverState with identity labels, per-pixel membership,
+    per-slot original root voxel id)."""
+    n_pix = init_label.shape[0]
+    nseg = r_cap + 1
+    slots = jnp.arange(n_pix, dtype=jnp.int32)
+    is_root = init_label == slots
+    cidx_all = jnp.cumsum(is_root.astype(jnp.int32)) - 1
+    ok = is_root & (cidx_all < r_cap)
+    cidx = jnp.where(ok, cidx_all, r_cap)
+    memb = cidx[init_label]                    # (N,) pixel -> slot (or sink)
+
+    volf = vol.reshape(n_pix, 3)
+    ones = jnp.ones((n_pix, 1), jnp.float32)
+    if params.descriptor == "color_mean_variance":
+        cols = jnp.concatenate([volf, ones, volf * volf], axis=1)
+    else:
+        cols = jnp.concatenate([volf, ones], axis=1)
+    stats = jax.ops.segment_sum(cols, memb, num_segments=nseg)
+    csum = stats[:, 0:3]
+    size = stats[:, 3]
+    sqsum = (stats[:, 4:7] if stats.shape[1] > 4
+             else jnp.zeros((nseg, 3), jnp.float32))
+    if has_constraints:
+        constr = jax.ops.segment_max(constr_init, memb, num_segments=nseg)
+        frozen = jax.ops.segment_max(frozen_init.astype(jnp.int32), memb,
+                                     num_segments=nseg) > 0
+    else:
+        constr = jnp.full(nseg, -1, jnp.int32)
+        frozen = jnp.zeros(nseg, bool)
+    fin = jax.ops.segment_max(fin_init.astype(jnp.int32), memb,
+                              num_segments=nseg) > 0
+    # Sink must never merge: finalized, unconstrained.
+    fin = fin.at[r_cap].set(True)
+    constr = constr.at[r_cap].set(-1)
+    # Original root voxel per slot (label reconstruction).
+    orig_slot = jnp.zeros(nseg, jnp.int32).at[
+        jnp.where(ok, cidx_all, r_cap)].max(jnp.where(ok, slots, 0))
+    ts = SolverState(jnp.arange(nseg, dtype=jnp.int32), csum, size, constr,
+                     fin, frozen, sqsum)
+    return ts, memb, orig_slot
+
+
+def _solve_edge_table(vol, fl, init_label, constr_init, frozen_init,
+                      fin_init, params, n_pix, thetas, level_rounds,
+                      has_constraints):
+    """Edge-table phases of the v2 solver (see module docstring and the
+    OversegParams.edge_table comment).  `fl` is the flow or None."""
+    t, h, w, _ = vol.shape
+    if params.bands > 1:
+        return _solve_banded(vol, fl, init_label, constr_init, frozen_init,
+                             fin_init, params, thetas, level_rounds,
+                             has_constraints)
+    r_cap = _table_cap(params, n_pix, h, w, has_constraints)
     nseg = r_cap + 1
     sink = r_cap
-    state, orig_label = _compact(state, n_pix, r_cap)
-    memb = state.label                        # (N,) pixel -> table slot
-    ts = SolverState(jnp.arange(nseg, dtype=jnp.int32), state.csum,
-                     state.size, state.constr, state.fin, state.frozen,
-                     state.sqsum)
+    ts, memb, orig_slot = _init_table(vol, init_label, constr_init,
+                                      frozen_init, fin_init, r_cap,
+                                      has_constraints, params)
 
     tab = _extract_edges(memb.reshape(t, h, w), vol, fl, nseg, sink, params)
+    return _finish_table_solve(ts, tab, memb, orig_slot, init_label,
+                               (t, h, w), params, thetas, level_rounds,
+                               has_constraints)
+
+
+def _finish_table_solve(ts, tab, memb, orig_slot, init_label, shape3,
+                        params, thetas, level_rounds, has_constraints):
+    """Shared tail of the edge-table solver: top-K edges, schedule levels,
+    min-size forcing, constraint association, label reconstruction."""
+    t, h, w = shape3
+    n_pix = t * h * w
+    nseg = ts.label.shape[0]
+    sink = nseg - 1
     ptn, pbk = _topk_edges(tab, params.edge_topk)
+    # Level-end failure tests sweep the full extraction table when it is
+    # affordable; very large (banded) tables fall back to the per-slot
+    # top-K edges (the K smallest — higher-bucket incident edges then miss
+    # failure flags, an approximation accepted at banded scale).
+    if nseg <= (1 << _PARTNER_BITS):
+        end_tab = tab
+    else:
+        bits, bshift = _pack_spec(nseg)
+        end_tab = jnp.where(ptn < _I32MAX,
+                            ((jnp.minimum(pbk, NUM_BUCKETS - 2) >> bshift)
+                             << bits) | ptn, _I32MAX).T
 
     def run_rounds(ts, theta, max_rounds, mode, p_tab, b_tab):
         def cond(carry):
@@ -910,7 +1064,7 @@ def _solve_edge_table(vol, state, params, fl, n_pix, thetas,
     def level_body(l, ts):
         ts = run_rounds(ts, thetas[l], level_rounds[l], jnp.int32(MODE_MERGE),
                         ptn, pbk)
-        return _table_level_end(ts, tab, thetas[l], nseg, sink, params)
+        return _table_level_end(ts, end_tab, thetas[l], nseg, sink, params)
 
     ts = jax.lax.fori_loop(0, thetas.shape[0], level_body, ts)
 
@@ -925,9 +1079,9 @@ def _solve_edge_table(vol, state, params, fl, n_pix, thetas,
     # Reconstruct labels in original root-voxel space (same scheme as the
     # v1 tail): each live region takes its minimum original root; sink
     # pixels keep their pre-table root.
+    orig_min = jax.ops.segment_min(orig_slot, ts.label, num_segments=nseg)
     root_px = ts.label[memb]
-    orig_min = jax.ops.segment_min(orig_label, root_px, num_segments=nseg)
-    final = jnp.where(root_px == sink, orig_label, orig_min[root_px])
+    final = jnp.where(root_px == sink, init_label, orig_min[root_px])
     live = (ts.size > 0) & (jnp.arange(nseg) != sink)
     tgt = jnp.where(live, orig_min, 0)
     constr_out = jnp.full(n_pix, -1, jnp.int32)
@@ -936,6 +1090,155 @@ def _solve_edge_table(vol, state, params, fl, n_pix, thetas,
     size_out = size_out.at[tgt].add(jnp.where(live, ts.size, 0.0))
     return OversegResult(label=final.reshape(t, h, w), constr=constr_out,
                          size=size_out)
+
+
+def _boundary_edges(vol, memb_g, B: int, bh: int, G: int,
+                    params: OversegParams, include_temporal: bool):
+    """Cross-band adjacency: per-slot min edges across the B-1 band seams.
+
+    Returns a (D_bd, G+1) packed table in the `_extract_edges` layout.
+    Crossing directions: spatial (dy=1, dx in {-1,0,1}) between the last
+    row of band b and the first row of band b+1, plus — when flow is absent
+    and t>1 — undisplaced temporal (dt=-1, dy=+-1, dx in {-1,0,1}).
+    Flow-displaced temporal edges stay clamped within their band (a one-row
+    approximation at each seam)."""
+    t, h, w, _ = vol.shape
+    nseg_g = G + 1
+    bits, bshift = _pack_spec(nseg_g)
+    volr = vol.reshape(t, B, bh, w, 3)
+    membr = memb_g.reshape(t, B, bh, w)
+    lo_c = volr[:, :-1, -1]      # (t, B-1, w, 3): last row of band b
+    hi_c = volr[:, 1:, 0]        # first row of band b+1
+    lo_m = membr[:, :-1, -1]     # (t, B-1, w)
+    hi_m = membr[:, 1:, 0]
+    xs = jnp.arange(w)[None, None, :]
+
+    def one(a_c, a_m, b_c, b_m, dx):
+        if dx:
+            b_c = jnp.roll(b_c, -dx, axis=2)
+            b_m = jnp.roll(b_m, -dx, axis=2)
+        valid = (xs + dx >= 0) & (xs + dx < w)
+        d = _dist(a_c, b_c, params.metric)
+        bkt = jnp.minimum(_bucketize(d), NUM_BUCKETS - 2) >> bshift
+        ok = valid & (a_m != G) & (b_m != G) & (a_m != b_m)
+        pk_a = jnp.where(ok, (bkt << bits) | b_m, _I32MAX).reshape(-1)
+        pk_b = jnp.where(ok, (bkt << bits) | a_m, _I32MAX).reshape(-1)
+        e_a = jax.ops.segment_min(pk_a, a_m.reshape(-1),
+                                  num_segments=nseg_g)
+        e_b = jax.ops.segment_min(pk_b, b_m.reshape(-1),
+                                  num_segments=nseg_g)
+        return [e_a, e_b]
+
+    cols = []
+    for dx in (-1, 0, 1):
+        cols += one(lo_c, lo_m, hi_c, hi_m, dx)
+    if include_temporal and t > 1:
+        for dx in (-1, 0, 1):
+            # (t, lo row) -> (t-1, hi row): down-backward
+            cols += one(lo_c[1:], lo_m[1:], hi_c[:-1], hi_m[:-1], dx)
+            # (t, hi row) -> (t-1, lo row): up-backward
+            cols += one(hi_c[1:], hi_m[1:], lo_c[:-1], lo_m[:-1], dx)
+    return jnp.stack(cols, axis=0)
+
+
+def _solve_banded(vol, fl, init_label, constr_init, frozen_init, fin_init,
+                  params: OversegParams, thetas, level_rounds,
+                  has_constraints):
+    """Row-banded pixel phases + global table phases (OversegParams.bands).
+
+    Each band runs seed compaction and edge extraction independently
+    (lax.map — one band resident at a time), with its table slots mapped
+    into a disjoint global range; a boundary pass restores cross-band
+    adjacency; the schedule/min-size/constraint phases then run on the
+    concatenated global table exactly as in the monolithic solve."""
+    t, h, w, _ = vol.shape
+    B = params.bands
+    if h % B or (h // B) % 8:
+        raise ValueError(f"height {h} not divisible into {B} bands of "
+                         f"8-row-aligned height")
+    bh = h // B
+    n_band = t * bh * w
+    cap_b = params.band_table_slots or min(
+        max(n_band // params.table_divisor, 1 << 14), n_band)
+    nseg_b = cap_b + 1
+    G = B * cap_b
+    sink_g = G
+    nseg_g = G + 1
+    _pack_spec(nseg_g)  # validate packability
+
+    def band_split(x, ch=0):
+        """(tt,h,w[,C]) -> (B,tt,bh,w[,C])"""
+        tt = x.shape[0]
+        shape = (tt, B, bh, w) + ((ch,) if ch else ())
+        perm = (1, 0, 2, 3, 4) if ch else (1, 0, 2, 3)
+        return x.reshape(shape).transpose(perm)
+
+    vol_b = band_split(vol, 3)
+    fl_b = (band_split(fl, 2) if fl is not None else
+            jnp.zeros((B, max(t - 1, 0), bh, w, 2), jnp.float32))
+    init3 = init_label.reshape(t, h, w)
+    init_bs = band_split(init3)
+    # Localize init values (global voxel ids, in-band by construction) to
+    # band-local voxel ids.
+    band_of = jnp.arange(B, dtype=jnp.int32)[:, None, None, None]
+    init_local = (init_bs // (h * w)) * (bh * w) \
+        + (init_bs % (h * w) - band_of * (bh * w))
+    constr_b = band_split(constr_init.reshape(t, h, w))
+    frozen_b = band_split(frozen_init.reshape(t, h, w))
+    fin_b = band_split(fin_init.reshape(t, h, w))
+    has_flow = fl is not None
+
+    def band_fn(args):
+        vb, flb, il, cb, fb, finb, bidx = args
+        ts_b, memb_b, orig_b = _init_table(
+            vb, il.reshape(-1), cb.reshape(-1), fb.reshape(-1),
+            finb.reshape(-1), cap_b, has_constraints, params)
+        tab_b = _extract_edges(memb_b.reshape(t, bh, w), vb,
+                               flb if has_flow else None, nseg_b, cap_b,
+                               params, global_base=bidx * cap_b,
+                               pack_domain=nseg_g)
+        # Delocalize original-root voxel ids.
+        orig_g = (orig_b // (bh * w)) * (h * w) + bidx * (bh * w) \
+            + orig_b % (bh * w)
+        return (ts_b.csum, ts_b.size, ts_b.constr, ts_b.fin, ts_b.frozen,
+                ts_b.sqsum, memb_b, tab_b, orig_g)
+
+    mapper = jax.vmap(band_fn) if params.bands_vmap else \
+        functools.partial(jax.lax.map, band_fn)
+    (csum_s, size_s, constr_s, fin_s, frozen_s, sqsum_s, memb_s, tab_s,
+     orig_s) = mapper(
+        (vol_b, fl_b, init_local, constr_b, frozen_b, fin_b,
+         jnp.arange(B, dtype=jnp.int32)))
+
+    def glue(rows, sink_val, dtype=None):
+        """(B, nseg_b, ...) per-band tables -> (G+1, ...) global."""
+        flat = rows[:, :cap_b].reshape((G,) + rows.shape[2:])
+        sink_row = jnp.full((1,) + rows.shape[2:], sink_val,
+                            dtype or rows.dtype)
+        return jnp.concatenate([flat, sink_row], axis=0)
+
+    ts = SolverState(
+        label=jnp.arange(nseg_g, dtype=jnp.int32),
+        csum=glue(csum_s, 0.0), size=glue(size_s, 0.0),
+        constr=glue(constr_s, -1), fin=glue(fin_s, True),
+        frozen=glue(frozen_s, False), sqsum=glue(sqsum_s, 0.0))
+    orig_slot = glue(orig_s, 0)
+
+    memb_g = jnp.where(memb_s == cap_b, sink_g,
+                       memb_s + (jnp.arange(B, dtype=jnp.int32)
+                                 * cap_b)[:, None])
+    memb_g = memb_g.reshape(B, t, bh, w).transpose(1, 0, 2, 3).reshape(-1)
+
+    tab_g = jnp.concatenate(
+        [tab_s[:, :, :cap_b].transpose(1, 0, 2).reshape(tab_s.shape[1], G),
+         jnp.full((tab_s.shape[1], 1), _I32MAX, jnp.int32)], axis=1)
+    tab_bd = _boundary_edges(vol, memb_g.reshape(t, h, w), B, bh, G,
+                             params, include_temporal=fl is None)
+    tab = jnp.concatenate([tab_g, tab_bd], axis=0)
+
+    return _finish_table_solve(ts, tab, memb_g, orig_slot, init_label,
+                               (t, h, w), params, thetas, level_rounds,
+                               has_constraints)
 
 
 def oversegment(vol, flow=None, constraints=None, init_label=None,

@@ -234,11 +234,13 @@ class RegionSegmentation:
         self._chunks.append(chunk)
 
     def _accumulate_chunk(self, chunk: _ChunkData):
-        """Device histogram accumulation for one chunk, cached on host.
+        """Histogram accumulation for one chunk, cached on host.
 
-        Temporal extent and region count are padded to power-of-two buckets
-        (dummy samples land in the reserved last region row) so the jitted
-        accumulation compiles for a handful of shapes only."""
+        Primary path: the threaded native accumulator
+        (native.accumulate_lab_hist — label-range-sharded, race-free,
+        deterministic); the scatter-based device path is the fallback.
+        Host accumulation also overlaps the device's chunk solves in the
+        threaded pipeline."""
         tc = len(chunk.frames)
         rc = len(chunk.gids)
         rcap = _next_pow2(rc + 1)
@@ -247,13 +249,12 @@ class RegionSegmentation:
                 f"chunk has {rc} over-segmented regions — far beyond sane "
                 f"density; flat histogram keys would overflow int32 "
                 f"(rcap {rcap} * {self.num_color_bins} bins)")
-        tpad = _next_pow2(tc)
         h, w = self.frame_height, self.frame_width
-        labels = np.full((tpad, h, w), rcap - 1, np.int32)
-        lab_u8 = np.zeros((tpad, h, w, 3), np.uint8)
+        labels = np.empty((tc, h, w), np.int32)
+        lab_u8 = np.empty((tc, h, w, 3), np.uint8)
         use_flow = self._has_flow
-        fbin = np.zeros((tpad, h, w), np.int8) if use_flow else None
-        fmag = np.zeros((tpad, h, w), np.float16) if use_flow else None
+        fbin = np.zeros((tc, h, w), np.int8) if use_flow else None
+        fmag = np.zeros((tc, h, w), np.float16) if use_flow else None
         for i, sf in enumerate(chunk.frames):
             idx = np.searchsorted(chunk.gids, sf.region_ids)
             intervals = np.stack([sf.ys, sf.lxs, sf.rxs], axis=1)
@@ -266,17 +267,43 @@ class RegionSegmentation:
                 fbin[i] = feat.flow_bin
                 fmag[i] = feat.flow_mag
 
-        hist, fh, fc = _accumulate_all(
-            jnp.asarray(labels), jnp.asarray(lab_u8),
-            jnp.asarray(fbin) if use_flow else jnp.zeros((1, 1, 1), jnp.int8),
-            jnp.asarray(fmag) if use_flow else
-            jnp.zeros((1, 1, 1), jnp.float16),
-            rcap, self.options.luminance_bins, self.options.color_bins,
-            self.options.flow_bins, use_flow)
-        chunk.hist = np.asarray(hist[:rc], np.float32)
-        if use_flow:
-            chunk.flow_hist = np.asarray(fh[:tc, :rc], np.float32)
-            chunk.flow_cnt = np.asarray(fc[:tc, :rc], np.float32)
+        from video_segment_tpu import native
+        lum, cb, fb = (self.options.luminance_bins, self.options.color_bins,
+                       self.options.flow_bins)
+        nat = native.accumulate_lab_hist(labels, lab_u8, rcap, lum, cb)
+        if nat is not None:
+            chunk.hist = np.ascontiguousarray(nat[0, :rc])
+            if use_flow:
+                tkey = ((np.arange(tc, dtype=np.int64)[:, None, None] * rcap
+                         + labels) * fb + fbin)
+                mag = fmag.astype(np.float32)
+                fh = native.weighted_bincount(tkey, mag, tc * rcap * fb)
+                fc = native.weighted_bincount(
+                    tkey // fb, np.ones(tkey.size, np.float32), tc * rcap)
+                chunk.flow_hist = fh.reshape(tc, rcap, fb)[:, :rc]
+                chunk.flow_cnt = fc.reshape(tc, rcap)[:, :rc]
+        else:
+            tpad = _next_pow2(tc)
+            labels_p = np.full((tpad, h, w), rcap - 1, np.int32)
+            labels_p[:tc] = labels
+            lab_p = np.zeros((tpad, h, w, 3), np.uint8)
+            lab_p[:tc] = lab_u8
+            fb_p = np.zeros((tpad, h, w), np.int8)
+            fm_p = np.zeros((tpad, h, w), np.float16)
+            if use_flow:
+                fb_p[:tc] = fbin
+                fm_p[:tc] = fmag
+            hist, fh, fc = _accumulate_all(
+                jnp.asarray(labels_p), jnp.asarray(lab_p),
+                jnp.asarray(fb_p) if use_flow
+                else jnp.zeros((1, 1, 1), jnp.int8),
+                jnp.asarray(fm_p) if use_flow
+                else jnp.zeros((1, 1, 1), jnp.float16),
+                rcap, lum, cb, fb, use_flow)
+            chunk.hist = np.asarray(hist[:rc], np.float32)
+            if use_flow:
+                chunk.flow_hist = np.asarray(fh[:tc, :rc], np.float32)
+                chunk.flow_cnt = np.asarray(fc[:tc, :rc], np.float32)
 
         wsz = self.options.appearance_window_size
         if wsz > 0:
@@ -288,21 +315,41 @@ class RegionSegmentation:
                     f"{rcap} regions * {self.num_color_bins} bins would "
                     f"overflow int32 scatter keys")
             slot_of = {g: i for i, g in enumerate(wins)}
-            win_slot = np.full(tpad, wcap - 1, np.int32)
-            gains = np.ones((tpad, 3), np.float32)
+            win_slot = np.full(tc, wcap - 1, np.int32)
+            gains = np.ones((tc, 3), np.float32)
             for i, sf in enumerate(chunk.frames):
                 feat_mean = self._frame_means[sf.frame_index]
                 g = sf.frame_index // wsz
                 win_slot[i] = slot_of[g]
                 anchor = self._window_anchor.get(g, feat_mean)
                 gains[i] = anchor / (feat_mean + 1e-3)
-            wh, wc = _accumulate_windowed(
-                jnp.asarray(labels), jnp.asarray(lab_u8),
-                jnp.asarray(gains), jnp.asarray(win_slot), rcap, wcap,
-                self.options.luminance_bins, self.options.color_bins)
+            natw = native.accumulate_lab_hist(
+                labels, lab_u8, rcap, lum, cb, gains=gains,
+                win_slot=win_slot, wcap=wcap)
+            if natw is not None:
+                wh, wc = natw, None
+                cnt = native.weighted_bincount(
+                    win_slot[:, None, None].astype(np.int64) * rcap + labels,
+                    np.ones(labels.size, np.float32), wcap * rcap)
+                chunk.win_hist = np.ascontiguousarray(wh[:len(wins), :rc])
+                chunk.win_cnt = cnt.reshape(wcap, rcap)[:len(wins), :rc]
+            else:
+                tpad = _next_pow2(tc)
+                labels_p = np.full((tpad, h, w), rcap - 1, np.int32)
+                labels_p[:tc] = labels
+                lab_p = np.zeros((tpad, h, w, 3), np.uint8)
+                lab_p[:tc] = lab_u8
+                ws_p = np.full(tpad, wcap - 1, np.int32)
+                ws_p[:tc] = win_slot
+                g_p = np.ones((tpad, 3), np.float32)
+                g_p[:tc] = gains
+                wh, wc = _accumulate_windowed(
+                    jnp.asarray(labels_p), jnp.asarray(lab_p),
+                    jnp.asarray(g_p), jnp.asarray(ws_p), rcap, wcap,
+                    lum, cb)
+                chunk.win_hist = np.asarray(wh[:len(wins), :rc], np.float32)
+                chunk.win_cnt = np.asarray(wc[:len(wins), :rc], np.float32)
             chunk.win_ids = np.asarray(wins, np.int64)
-            chunk.win_hist = np.asarray(wh[:len(wins), :rc], np.float32)
-            chunk.win_cnt = np.asarray(wc[:len(wins), :rc], np.float32)
 
         # Features for these frames are no longer needed.
         for sf in chunk.frames:

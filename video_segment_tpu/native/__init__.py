@@ -25,7 +25,7 @@ def _build() -> bool:
                 or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                 "-o", _LIB, _SRC],
+                 "-pthread", "-o", _LIB, _SRC],
                 check=True, capture_output=True)
         return True
     except Exception:
@@ -47,6 +47,18 @@ def _load():
     lib.rle_encode_rows.argtypes = [
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int32, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int64]
+    lib.accumulate_lab_hist.restype = None
+    lib.accumulate_lab_hist.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int32, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_float)]
+    lib.weighted_bincount.restype = None
+    lib.weighted_bincount.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_float)]
     _lib = lib
     return lib
 
@@ -95,3 +107,63 @@ def rle_encode(labels: np.ndarray):
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), cap)
     runs = out[:n]
     return runs[:, 0], runs[:, 1], runs[:, 2], runs[:, 3]
+
+
+def accumulate_lab_hist(labels: np.ndarray, lab_u8: np.ndarray,
+                        rcap: int, lum_bins: int, color_bins: int,
+                        gains: np.ndarray | None = None,
+                        win_slot: np.ndarray | None = None,
+                        wcap: int = 1,
+                        n_threads: int = 0) -> np.ndarray | None:
+    """Threaded trilinear Lab histogram fill.
+
+    labels (T,H,W) int32 in [0,rcap); lab_u8 (T,H,W,3) uint8; optional
+    per-frame gains (T,3) float32 and window slots (T,) int32 (< wcap).
+    Returns (wcap, rcap, nbins) float32, or None when the native library
+    is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    t = labels.shape[0]
+    hw = int(np.prod(labels.shape[1:]))
+    nbins = lum_bins * color_bins * color_bins
+    labels = np.ascontiguousarray(labels, np.int32)
+    lab_u8 = np.ascontiguousarray(lab_u8, np.uint8)
+    if gains is None:
+        gains = np.ones((t, 3), np.float32)
+    gains = np.ascontiguousarray(gains, np.float32)
+    if win_slot is None:
+        win_slot = np.zeros(t, np.int32)
+    win_slot = np.ascontiguousarray(win_slot, np.int32)
+    out = np.zeros(wcap * rcap * nbins, np.float32)
+    if n_threads <= 0:
+        n_threads = min(8, os.cpu_count() or 1)
+    lib.accumulate_lab_hist(
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        lab_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        t, hw, rcap, lum_bins, color_bins,
+        gains.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        win_slot.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n_threads,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out.reshape(wcap, rcap, nbins)
+
+
+def weighted_bincount(keys: np.ndarray, weights: np.ndarray, m: int,
+                      n_threads: int = 0) -> np.ndarray | None:
+    """out[k] = sum of weights where keys == k; None if lib unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    keys = np.ascontiguousarray(keys.reshape(-1), np.int64)
+    weights = np.ascontiguousarray(weights.reshape(-1), np.float32)
+    out = np.zeros(m, np.float32)
+    if n_threads <= 0:
+        n_threads = min(8, os.cpu_count() or 1)
+    lib.weighted_bincount(
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        weights.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(keys), m, n_threads,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out

@@ -11,7 +11,10 @@
 // Built as a plain shared library, bound via ctypes (no pybind11 in this
 // image).
 
+#include <algorithm>
+#include <cmath>
 #include <cstdint>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -98,6 +101,87 @@ int64_t rle_encode_rows(const int64_t* labels, int32_t h, int32_t w,
     }
   }
   return runs;
+}
+
+// Trilinearly interpolated Lab color histograms per (window, region)
+// (the reference's AddPixelInterpolated fill, histograms.cpp:142-199 /
+// WindowedAppearanceDescriptor gains, region_descriptor.cpp:149-205).
+//
+// labels: (t*hw) int32 in [0, rcap); lab: (t*hw*3) uint8 Lab;
+// gains: (t*3) float multipliers (nullptr-equivalent: pass all 1.0);
+// win_slot: (t) int32 window slot per frame in [0, wcap).
+// out: (wcap*rcap*nbins) float32, nbins = lum_bins*color_bins^2, zeroed by
+// the caller.  Threads own disjoint label ranges, so all writes are
+// race-free and the result is deterministic.
+void accumulate_lab_hist(const int32_t* labels, const uint8_t* lab,
+                         int32_t t, int64_t hw, int32_t rcap,
+                         int32_t lum_bins, int32_t color_bins,
+                         const float* gains, const int32_t* win_slot,
+                         int32_t n_threads, float* out) {
+  const int32_t nbins = lum_bins * color_bins * color_bins;
+  const float sl = (lum_bins - 1) / 255.0f;
+  const float sc = (color_bins - 1) / 255.0f;
+  n_threads = std::max(1, std::min(n_threads, rcap));
+
+  auto worker = [&](int32_t k) {
+    const int32_t lo = static_cast<int32_t>(
+        static_cast<int64_t>(rcap) * k / n_threads);
+    const int32_t hi = static_cast<int32_t>(
+        static_cast<int64_t>(rcap) * (k + 1) / n_threads);
+    for (int32_t f = 0; f < t; ++f) {
+      const float g0 = gains[f * 3 + 0], g1 = gains[f * 3 + 1],
+                  g2 = gains[f * 3 + 2];
+      const int64_t wbase =
+          static_cast<int64_t>(win_slot[f]) * rcap * nbins;
+      const int32_t* lrow = labels + static_cast<int64_t>(f) * hw;
+      const uint8_t* crow = lab + static_cast<int64_t>(f) * hw * 3;
+      for (int64_t i = 0; i < hw; ++i) {
+        const int32_t r = lrow[i];
+        if (r < lo || r >= hi) continue;
+        const float l = std::min(255.0f, crow[i * 3 + 0] * g0) * sl;
+        const float a = std::min(255.0f, crow[i * 3 + 1] * g1) * sc;
+        const float b = std::min(255.0f, crow[i * 3 + 2] * g2) * sc;
+        const int32_t l0 = static_cast<int32_t>(l), a0 =
+            static_cast<int32_t>(a), b0 = static_cast<int32_t>(b);
+        const float dl = l - l0, da = a - a0, db = b - b0;
+        const int32_t l1 = l0 + (dl >= 1e-6f), a1 = a0 + (da >= 1e-6f),
+                      b1 = b0 + (db >= 1e-6f);
+        float* row = out + wbase + static_cast<int64_t>(r) * nbins;
+        const float wl[2] = {1.0f - dl, dl};
+        const float wa[2] = {1.0f - da, da};
+        const float wb[2] = {1.0f - db, db};
+        const int32_t li[2] = {l0, l1}, ai[2] = {a0, a1}, bi[2] = {b0, b1};
+        for (int x = 0; x < 2; ++x)
+          for (int y = 0; y < 2; ++y)
+            for (int z = 0; z < 2; ++z)
+              row[(li[x] * color_bins + ai[y]) * color_bins + bi[z]] +=
+                  wl[x] * wa[y] * wb[z];
+      }
+    }
+  };
+
+  std::vector<std::thread> threads;
+  for (int32_t k = 0; k < n_threads; ++k) threads.emplace_back(worker, k);
+  for (auto& th : threads) th.join();
+}
+
+// Generic race-free weighted bincount: out[keys[i]] += weights[i].
+// Threads own disjoint key ranges.  keys in [0, m).
+void weighted_bincount(const int64_t* keys, const float* weights, int64_t n,
+                       int64_t m, int32_t n_threads, float* out) {
+  n_threads = std::max<int32_t>(
+      1, static_cast<int32_t>(std::min<int64_t>(n_threads, m)));
+  auto worker = [&](int32_t k) {
+    const int64_t lo = m * k / n_threads;
+    const int64_t hi = m * (k + 1) / n_threads;
+    for (int64_t i = 0; i < n; ++i) {
+      const int64_t key = keys[i];
+      if (key >= lo && key < hi) out[key] += weights[i];
+    }
+  };
+  std::vector<std::thread> threads;
+  for (int32_t k = 0; k < n_threads; ++k) threads.emplace_back(worker, k);
+  for (auto& th : threads) th.join();
 }
 
 }  // extern "C"

@@ -57,32 +57,36 @@ def _onehot_rows(labr):
     return (labr[:, :, None] == a).astype(jnp.float32)
 
 
-def _aggregate(ohr, labc, v):
-    """Sum v (8,128) into label table (8,128): T[a,b] = sum over pixels."""
+def _onehot_cols(labc):
+    """(8,128) int32 col labels -> (8,128,128) bool one-hot over columns.
+
+    Built ONCE per round and threaded through every aggregate / distribute
+    / per-label reduction — the (i,j,b) one-hot materializations dominate
+    the kernel's VPU time."""
     b = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W, TILE_W), 2)
-    ohc = (labc[:, :, None] == b).astype(jnp.float32)       # (i,j,b)
+    return labc[:, :, None] == b
+
+
+def _aggregate(ohr, ohc_f, v):
+    """Sum v (8,128) into label table (8,128): T[a,b] = sum over pixels."""
     lhs = ohr * v[:, :, None]                               # (i,j,a)
     # contract j, batch i -> (i,a,b), then sum rows.
-    out = jax.lax.dot_general(lhs, ohc, (((1,), (1,)), ((0,), (0,))),
+    out = jax.lax.dot_general(lhs, ohc_f, (((1,), (1,)), ((0,), (0,))),
                               preferred_element_type=jnp.float32)
     return jnp.sum(out, axis=0)
 
 
-def _distribute(ohr, labc, table):
+def _distribute(ohr, ohc_f, table):
     """Per-pixel value of its label: g[i,j] = table[labr[i,j], labc[i,j]]."""
     # P[i,j,b] = sum_a ohr[i,j,a] * table[a,b]
     p = jax.lax.dot_general(ohr, table, (((2,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    b = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W, TILE_W), 2)
-    sel = (labc[:, :, None] == b).astype(jnp.float32)
-    return jnp.sum(p * sel, axis=2)
+    return jnp.sum(p * ohc_f, axis=2)
 
 
-def _label_min(labr, labc, v):
+def _label_min(labr, ohc, v):
     """Per-label min of v (+_BIG identity), returned as a (8,128) table."""
     rows = []
-    b = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W, TILE_W), 2)
-    ohc = labc[:, :, None] == b
     vb = jnp.where(ohc, v[:, :, None].astype(jnp.float32), 2.0 ** 31)
     labr3 = labr[:, :, None]   # int32 minor-dim insertion (i1 unsupported)
     for a in range(TILE_H):
@@ -91,11 +95,9 @@ def _label_min(labr, labc, v):
     return jnp.concatenate(rows, axis=0).astype(jnp.int32)
 
 
-def _label_max(labr, labc, v):
+def _label_max(labr, ohc, v):
     """Per-label max of v (0 identity), as (8,128) f32 table."""
     rows = []
-    b = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W, TILE_W), 2)
-    ohc = labc[:, :, None] == b
     vb = jnp.where(ohc, v[:, :, None], 0.0)
     labr3 = labr[:, :, None]
     for a in range(TILE_H):
@@ -107,8 +109,9 @@ def _label_max(labr, labc, v):
 def _compose(pa, pb):
     """One pointer-jump of the (row,col) parent tables: P <- P[P]."""
     ohr = _onehot_rows(pa)
-    pa2 = _distribute(ohr, pb, pa.astype(jnp.float32)).astype(jnp.int32)
-    pb2 = _distribute(ohr, pb, pb.astype(jnp.float32)).astype(jnp.int32)
+    ohc_f = _onehot_cols(pb).astype(jnp.float32)
+    pa2 = _distribute(ohr, ohc_f, pa.astype(jnp.float32)).astype(jnp.int32)
+    pb2 = _distribute(ohr, ohc_f, pb.astype(jnp.float32)).astype(jnp.int32)
     return pa2, pb2
 
 
@@ -155,18 +158,20 @@ def _solve_subtile(color3, gy, gx, h, w, *, schedule, rounds_per_level,
     n_levels = len(schedule)
     r_per = rounds_per_level
 
-    def region_views(labr, labc):
-        ohr = _onehot_rows(labr)
+    def region_views(labr, ohr, ohc_f):
         ones = jnp.ones((TILE_H, TILE_W), jnp.float32)
-        size_t = _aggregate(ohr, labc, ones)
-        mean_t = [_aggregate(ohr, labc, ch) / jnp.maximum(size_t, 1.0)
+        size_t = _aggregate(ohr, ohc_f, ones)
+        mean_t = [_aggregate(ohr, ohc_f, ch) / jnp.maximum(size_t, 1.0)
                   for ch in c]
-        mean_px = [_distribute(ohr, labc, m) for m in mean_t]
-        return ohr, mean_px
+        mean_px = [_distribute(ohr, ohc_f, m) for m in mean_t]
+        return mean_px
 
     def merge_round(labr, labc, fin_t, theta, rnd):
-        ohr, mean_px = region_views(labr, labc)
-        fin_px = _distribute(ohr, labc, fin_t)
+        ohr = _onehot_rows(labr)
+        ohc = _onehot_cols(labc)
+        ohc_f = ohc.astype(jnp.float32)
+        mean_px = region_views(labr, ohr, ohc_f)
+        fin_px = _distribute(ohr, ohc_f, fin_t)
         lab_flat = labr * TILE_W + labc
         best = jnp.full((TILE_H, TILE_W), _BIG, jnp.int32)
         for k, (dy, dx) in enumerate(DIRS):
@@ -181,7 +186,7 @@ def _solve_subtile(color3, gy, gx, h, w, *, schedule, rounds_per_level,
             cand = (buckets[k] << 10) | nb_lab
             best = jnp.minimum(best, jnp.where(adm, cand, _BIG))
 
-        best_t = _label_min(labr, labc, best)
+        best_t = _label_min(labr, ohc, best)
         partner = best_t & 1023
         have = best_t < _BIG
         own_flat = rows * TILE_W + cols           # table cell's own label id
@@ -189,22 +194,23 @@ def _solve_subtile(color3, gy, gx, h, w, *, schedule, rounds_per_level,
         hook = have & ((partner > own_flat) == up)
         pa = jnp.where(hook, partner >> 7, rows)
         pb = jnp.where(hook, partner & 127, cols)
-        # Parity hooking chains are monotone; 2 jumps resolve <=4 deep.
+        # Parity hooking chains are monotone; one jump resolves <=2 deep.
         # Deeper chains leave stale labels that simply re-merge next round
         # (and the caller's final pointer_jump resolves any residue).
-        for _ in range(2):
-            pa, pb = _compose(pa, pb)
-        ohr2 = _onehot_rows(labr)
-        labr = _distribute(ohr2, labc, pa.astype(jnp.float32)) \
+        pa, pb = _compose(pa, pb)
+        labr = _distribute(ohr, ohc_f, pa.astype(jnp.float32)) \
             .astype(jnp.int32)
-        labc = _distribute(ohr2, labc, pb.astype(jnp.float32)) \
+        labc = _distribute(ohr, ohc_f, pb.astype(jnp.float32)) \
             .astype(jnp.int32)
         return labr, labc, fin_t
 
     def level_end(labr, labc, fin_t, theta, _rnd):
         # Any failed merge test at weight <= theta finalizes both endpoint
         # regions (segmentation_graph.h:399-402).
-        _, mean_px = region_views(labr, labc)
+        ohr = _onehot_rows(labr)
+        ohc = _onehot_cols(labc)
+        ohc_f = ohc.astype(jnp.float32)
+        mean_px = region_views(labr, ohr, ohc_f)
         lab_flat = labr * TILE_W + labc
         fail = jnp.zeros((TILE_H, TILE_W), jnp.float32)
         for k, (dy, dx) in enumerate(DIRS):
@@ -214,7 +220,7 @@ def _solve_subtile(color3, gy, gx, h, w, *, schedule, rounds_per_level,
             bad = (valids[k] & (buckets[k] <= theta)
                    & (nb_lab != lab_flat) & (dd >= merge_threshold))
             fail = jnp.maximum(fail, bad.astype(jnp.float32))
-        fin_t = jnp.maximum(fin_t, _label_max(labr, labc, fail))
+        fin_t = jnp.maximum(fin_t, _label_max(labr, ohc, fail))
         return labr, labc, fin_t
 
     def body(i, carry):
@@ -231,7 +237,8 @@ def _solve_subtile(color3, gy, gx, h, w, *, schedule, rounds_per_level,
         0, n_levels * (r_per + 1), body,
         (rows, cols, jnp.zeros((TILE_H, TILE_W), jnp.float32)))
 
-    fin_px = _distribute(_onehot_rows(labr), labc, fin_t)
+    fin_px = _distribute(_onehot_rows(labr),
+                         _onehot_cols(labc).astype(jnp.float32), fin_t)
     return labr * TILE_W + labc, fin_px
 
 
@@ -400,8 +407,7 @@ def _ref_subtile(c, hh, ww, schedule, rounds_per_level, merge_threshold,
             up = (rnd % 2) == 0
             hook = have & ((partner > own) == up)
             parent = np.where(hook, partner, own)
-            for _ in range(2):
-                parent = parent[parent]
+            parent = parent[parent]
             lab = parent[lab]
 
         mean = tables()

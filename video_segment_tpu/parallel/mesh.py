@@ -5,12 +5,14 @@ SURVEY §2.7; this is the TPU-native scale-out design):
 
 - "data" axis: clip/chunk parallelism — each chip segments different clips
   or different chunk batches (the production serving topology).
-- "space" axis: the pixel front-end (presmoothing, edge weights, TV-L1
-  iterations) is sharded over frame rows with halo exchange via ppermute
-  over ICI; stencils see identical values as the single-chip path.
-
-The merge solver's region graph is global per chunk, so its labels ride the
-data axis (one chunk per data-shard).
+- "space" axis: frame rows.  The pixel front-end (presmoothing, edge
+  weights, TV-L1 iterations) shards with ppermute halo exchange; the
+  SOLVER shards through its row-band decomposition
+  (`OversegParams.bands` + `bands_vmap`, `sharded_oversegment` below):
+  each device runs the pixel phases (seed compaction, edge extraction) of
+  its own band, and the O(regions) global table phases run on the
+  all-gathered band tables — the expensive O(pixels) work never leaves
+  its shard.
 """
 
 from __future__ import annotations
@@ -82,3 +84,36 @@ def sharded_presmooth(mesh: Mesh, mode: str = "bilateral", halo: int = 4):
                        in_specs=P("data", None, "space", None, None),
                        out_specs=P("data", None, "space", None, None))
     return jax.jit(fn)
+
+
+def sharded_oversegment(mesh: Mesh, params=None, has_flow: bool = False):
+    """jit-ed over-segmentation with clips on "data" and the solver's
+    row-band dimension on "space".
+
+    Returns fn(vol, flow) for vol (clips, T, H, W, 3) [flow
+    (clips, T-1, H, W, 2)] -> (clips, T, H, W) int32 labels.  H must split
+    into `space` bands of 8-aligned height.  Labels are identical to the
+    single-device banded solve (the band decomposition, not the mesh,
+    defines the math).
+    """
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding
+
+    from video_segment_tpu.core import oversegmentation as ov
+
+    axes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    p = (params or ov.OversegParams())._replace(
+        bands=axes["space"], bands_vmap=True, edge_table=True)
+
+    def solve_one(vol, flow):
+        t, h, w, _ = vol.shape
+        n = t * h * w
+        return ov._solve(vol, flow, jnp.arange(n, dtype=jnp.int32),
+                         jnp.full(n, -1, jnp.int32), jnp.zeros(n, bool),
+                         jnp.zeros(n, bool), p, has_flow, False).label
+
+    vspec = NamedSharding(mesh, P("data", None, "space", None, None))
+    return jax.jit(jax.vmap(solve_one),
+                   in_shardings=(vspec, vspec),
+                   out_shardings=NamedSharding(
+                       mesh, P("data", None, "space", None)))
