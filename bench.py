@@ -25,6 +25,23 @@ VIDEO = "/root/reference/video_example/test_video.MOV"
 BASELINE_FPS = 4.06  # measured: reference CPU pipeline, this clip, flow off
 
 
+def baseline_for(cfg: int) -> float:
+    """Per-config measured reference fps (BASELINE_MEASURED.json, written
+    by tools/ref_harness/measure_baselines.py); falls back to the config-2
+    figure so vs_baseline never silently uses the wrong denominator
+    without a recorded measurement."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE_MEASURED.json")
+    try:
+        with open(path) as f:
+            rec = json.load(f).get(str(cfg))
+        if rec and rec.get("fps"):
+            return float(rec["fps"])
+    except OSError:
+        pass
+    return BASELINE_FPS
+
+
 def run_pipeline(frames, width, height, use_flow=False,
                  over_segment_only=False):
     """Threaded stage chain (flow | dense | region | emit), matching
@@ -133,7 +150,7 @@ def main():
                   f"flow={'on' if use_flow else 'off'})",
         "value": round(fps, 3),
         "unit": "fps",
-        "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "vs_baseline": round(fps / baseline_for(cfg), 3),
     }))
     return 0
 
