@@ -135,10 +135,20 @@ def main():
 
     t0 = time.time()
     n_out = 0
-    for _ in range(n_clips):
-        n1, _ = run_pipeline(frames, w, h, use_flow,
-                             over_segment_only=cfg == 1)
-        n_out += n1
+    if n_clips > 1:
+        # Batch mode: clips interleaved through the device concurrently
+        # (device programs serialize; each clip's host stages fill the
+        # other's device time) — tools/batch_segment.py --concurrent.
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=n_clips) as ex:
+            for n1, _ in ex.map(
+                    lambda _i: run_pipeline(frames, w, h, use_flow,
+                                            over_segment_only=cfg == 1),
+                    range(n_clips)):
+                n_out += n1
+    else:
+        n_out, _ = run_pipeline(frames, w, h, use_flow,
+                                over_segment_only=cfg == 1)
     dt = time.time() - t0
     fps = n_out / dt if dt > 0 else 0.0
 
