@@ -105,3 +105,31 @@ def test_flush_mid_chunk():
     frames = _synthetic_video(8)
     results = _run(frames, chunk_size=6)
     assert [sf.frame_index for sf in results] == list(range(8))
+
+
+def test_felz_per_frame_preseg_mode(rng):
+    """The felz preseg path (per-frame dispatch at ingest) streams
+    correctly: full coverage, constrained chunk seams, id continuity."""
+    import dataclasses
+
+    from video_segment_tpu.core import dense
+    from video_segment_tpu.core.options import DenseSegmentationOptions
+
+    w, h = 32, 24
+    opts = DenseSegmentationOptions(chunk_size=4, preseg_mode="felz")
+    ds = dense.DenseSegmentation(opts, w, h)
+    frames = []
+    base = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+    for i in range(9):
+        f = base.copy()
+        f[:, : 8 + i] = (200, 30, 40)
+        frames.append(f)
+    out = []
+    for f in frames:
+        out += ds.process_frame(False, f)
+    out += ds.process_frame(True)
+    assert [sf.frame_index for sf in out] == list(range(9))
+    for sf in out:
+        area = int(sum(sf.rxs - sf.lxs + 1))
+        assert area == w * h
+        assert list(sf.region_ids) == sorted(sf.region_ids)

@@ -139,7 +139,11 @@ class DenseSegmentation:
             # size).  Explicit caller-set divisors are respected.
             self._params = self._params._replace(table_divisor=16)
 
-        self._buffer: list[jnp.ndarray] = []   # smoothed (H,W,3) on device
+        self._buffer: list[jnp.ndarray] = []   # smoothed (Hp,W,3) on device
+        # Per-frame tile preseg results, dispatched at ingest so the kernel
+        # overlaps host work instead of sitting on the chunk-solve critical
+        # path (tiles never cross frames, so per-frame == per-chunk labels).
+        self._preseg_buffer: list = []
         self._flow_buffer: list[np.ndarray] = []
         self._has_flow = False
         self._chunk_start = 0
@@ -153,16 +157,36 @@ class DenseSegmentation:
     # -- preprocessing ----------------------------------------------------
 
     def preprocess(self, frame_bgr_u8: np.ndarray) -> jnp.ndarray:
-        """uint8 BGR -> smoothed float [0,1] (dense_segmentation.cpp:164-198)."""
+        """uint8 BGR -> smoothed float [0,1] (dense_segmentation.cpp:164-198),
+        padded to the band grid when the solve is banded."""
         img = jnp.asarray(frame_bgr_u8, jnp.float32) * (1.0 / 255.0)
-        return filters.presmooth(img, self.options.presmoothing)
+        img = filters.presmooth(img, self.options.presmoothing)
+        if self._pad_rows:
+            img = jnp.pad(img, ((0, self._pad_rows), (0, 0), (0, 0)),
+                          mode="edge")
+        return img
+
+    def _preseg_frame(self, img: jnp.ndarray):
+        """Tile-local felz preseg of one (padded) frame; frame-local voxel
+        label ids plus finalized flags."""
+        from video_segment_tpu.ops import tile_felz
+        lab, fin = tile_felz.tile_felzenszwalb(
+            img[None], schedule=self._params.preseg_schedule,
+            merge_threshold=self._params.merge_threshold,
+            metric=self.options.color_distance)
+        return lab, fin
 
     # -- streaming --------------------------------------------------------
 
     def process_frame(self, flush: bool, frame_bgr_u8: np.ndarray | None = None,
                       flow: np.ndarray | None = None) -> list[SegFrame]:
         if frame_bgr_u8 is not None:
-            self._buffer.append(self.preprocess(frame_bgr_u8))
+            img = self.preprocess(frame_bgr_u8)
+            self._buffer.append(img)
+            if (self._preseg_mode == "felz"
+                    and (self.options.tile_presegment
+                         or self._params.edge_table)):
+                self._preseg_buffer.append(self._preseg_frame(img))
             # flow_buffer[i] is the backward flow of buffer frame i
             # (None only for the very first video frame).
             self._flow_buffer.append(
@@ -188,14 +212,11 @@ class DenseSegmentation:
         t_small = min(5, self.options.chunk_size + 1)
         t_solve = t_small if t <= t_small else self.options.chunk_size + 1
         pad = t_solve - t
-        vol = jnp.stack(self._buffer + [self._buffer[-1]] * pad)
-        # Banded solves pad H to the band grid, replicating the bottom row
-        # (pad pixels merge into the bottom-edge regions; outputs are
-        # sliced back to the true height).
+        # Buffered frames are already row-padded to the band grid
+        # (preprocess) — pad pixels replicate the bottom row and merge into
+        # the bottom-edge regions; outputs are sliced back to true height.
         hp = h + self._pad_rows
-        if self._pad_rows:
-            vol = jnp.pad(vol, ((0, 0), (0, self._pad_rows), (0, 0),
-                                (0, 0)), mode="edge")
+        vol = jnp.stack(self._buffer + [self._buffer[-1]] * pad)
 
         flow = None
         if self._has_flow and t > 1:
@@ -221,11 +242,19 @@ class DenseSegmentation:
         tile_fin = None
         if self.options.tile_presegment or self._params.edge_table:
             if self._preseg_mode == "felz":
-                from video_segment_tpu.ops import tile_felz
-                tile_init, tile_fin = tile_felz.tile_felzenszwalb(
-                    vol, schedule=self._params.preseg_schedule,
-                    merge_threshold=self._params.merge_threshold,
-                    metric=self.options.color_distance)
+                # Assemble the per-frame presegs dispatched at ingest
+                # (recompute any missing, e.g. after checkpoint restore).
+                while len(self._preseg_buffer) < len(self._buffer):
+                    k = len(self._preseg_buffer)
+                    self._preseg_buffer.append(
+                        self._preseg_frame(self._buffer[k]))
+                per_frame = self._preseg_buffer[:t] \
+                    + [self._preseg_buffer[t - 1]] * pad
+                offs = (jnp.arange(t_solve, dtype=jnp.int32)[:, None, None]
+                        * (hp * w))
+                tile_init = jnp.concatenate(
+                    [lab for lab, _ in per_frame]) + offs
+                tile_fin = jnp.concatenate([fin for _, fin in per_frame])
                 if timing:
                     tile_init.block_until_ready()
                 if not self._params.carry_preseg_fin:
@@ -437,6 +466,7 @@ class DenseSegmentation:
         # Prepare next chunk state.
         if flush:
             self._buffer.clear()
+            self._preseg_buffer.clear()
             self._flow_buffer.clear()
             self._overlap_gids = []
             self._chunk_start = 0
@@ -444,6 +474,7 @@ class DenseSegmentation:
             self._overlap_gids = [gid_map[compact[f]]
                                   for f in range(last_output, t)]
             self._buffer = self._buffer[last_output:]
+            self._preseg_buffer = self._preseg_buffer[last_output:]
             self._flow_buffer = self._flow_buffer[last_output:]
             self._chunk_start = 1
         self._chunk_id += 1

@@ -157,7 +157,7 @@ class OversegParams(NamedTuple):
     # Carry the local pre-solve's failed-merge-test flags into the global
     # phases.  Off = finalization develops only from global level-end
     # tests (coarser, merges further).
-    carry_preseg_fin: bool = True
+    carry_preseg_fin: bool = False
 
 
 class SolverState(NamedTuple):
