@@ -173,7 +173,8 @@ class DenseSegmentation:
         lab, fin = tile_felz.tile_felzenszwalb(
             img[None], schedule=self._params.preseg_schedule,
             merge_threshold=self._params.merge_threshold,
-            metric=self.options.color_distance)
+            metric=self.options.color_distance,
+            fin_margin=self._params.preseg_fin_margin)
         return lab, fin
 
     # -- streaming --------------------------------------------------------

@@ -84,6 +84,17 @@ class OversegParams(NamedTuple):
     # (Bhattacharyya z-score on means over pooled variance,
     # pixel_distance.h:566-638; pair with thresholds 0.1/0.75).
     descriptor: str = "color_mean"
+    # Gradient second trait (GradientDiff* pixel distance +
+    # GradientMeanDescriptorTraits, pixel_distance.h:160-175,523-561):
+    # edge weights and the merge gate combine the color and gradient
+    # distances via `aggregator` ("linear" with `linear_weight` on color,
+    # "independent", or "sqrt" — pixel_distance.h:712-744); merge/split
+    # thresholds aggregate the per-trait thresholds the same way
+    # (AggregatedDescriptorTraits, pixel_distance.h:755-821).
+    # Edge-table solver only.
+    gradient_trait: bool = False
+    aggregator: str = "independent"
+    linear_weight: float = 0.5
     # Ascending bucket thresholds; each runs Boruvka rounds to a fixed
     # point.  Fine-grained by default: table-space rounds are cheap, and
     # finer levels track the reference's strict ascending edge order more
@@ -157,7 +168,14 @@ class OversegParams(NamedTuple):
     # Carry the local pre-solve's failed-merge-test flags into the global
     # phases.  Off = finalization develops only from global level-end
     # tests (coarser, merges further).
-    carry_preseg_fin: bool = False
+    carry_preseg_fin: bool = True
+    # Only tile-local failures at >= margin * merge_threshold are carried
+    # (strong failures): borderline local failures often dissolve once the
+    # global phase sees whole-region means, and carrying them fragments
+    # the overseg ~40% finer than the reference (round-3 sweep: carry-all
+    # F 0.761/0.663/0.337 vs carry-none 0.730/0.620/0.442 at levels
+    # 0/0.4/0.75 — the margin sits between the extremes).
+    preseg_fin_margin: float = 1.5
 
 
 class SolverState(NamedTuple):
@@ -169,6 +187,8 @@ class SolverState(NamedTuple):
     frozen: jnp.ndarray  # (N,)  bool: virtual-node role (emitted geometry;
                          # constraint never reset, merged with group at end)
     sqsum: jnp.ndarray   # (N,3) f32: color square sums (variance trait)
+    gsum: jnp.ndarray | None = None  # (N,2) f32: sign-normalized gradient
+                                     # sums (gradient trait), else None
 
 
 class OversegResult(NamedTuple):
@@ -244,7 +264,7 @@ class _RawDir(NamedTuple):
 
 
 def _fold_dirs_raw(feats, label3, flow, metric, spatial_dirs,
-                   include_temporal_fwd, fold_fn, carry):
+                   include_temporal_fwd, fold_fn, carry, pair_dist=None):
     """Fold `fold_fn(carry, _RawDir) -> carry` over every incident direction.
 
     Shift-expressible directions (spatial N8, undisplaced temporal) run in a
@@ -255,6 +275,9 @@ def _fold_dirs_raw(feats, label3, flow, metric, spatial_dirs,
     channels [0:3] must be the color volume (bucket source)."""
     t, h, w, nf = feats.shape
     n = h * w
+    if pair_dist is None:
+        pair_dist = lambda a, b: _dist(a[..., _C_VOL], b[..., _C_VOL],
+                                       metric)  # noqa: E731
     ys = jnp.arange(h)[None, :, None]
     xs = jnp.arange(w)[None, None, :]
     ts = jnp.arange(t)[:, None, None]
@@ -281,8 +304,7 @@ def _fold_dirs_raw(feats, label3, flow, metric, spatial_dirs,
         valid = ((ts + dt >= 0) & (ts + dt < t)
                  & (ys + dy >= 0) & (ys + dy < h)
                  & (xs + dx >= 0) & (xs + dx < w))
-        bucket = _bucketize(_dist(feats[..., _C_VOL], fn[..., _C_VOL],
-                                  metric))
+        bucket = _bucketize(pair_dist(feats, fn))
         d = _RawDir(valid=valid, bucket=bucket, nb_label=labn, fn=fn,
                     temporal=dt != 0)
         return fold_fn(c, d), None
@@ -327,8 +349,7 @@ def _fold_dirs_raw(feats, label3, flow, metric, spatial_dirs,
         ny = py + d2[0]
         nx = px + d2[1]
         valid2 = (ny >= 0) & (ny < h) & (nx >= 0) & (nx < w)
-        bucket = _bucketize(_dist(feats[1:, ..., _C_VOL], fn[..., _C_VOL],
-                                  metric))
+        bucket = _bucketize(pair_dist(feats[1:], fn))
         d = _RawDir(valid=pad_first(valid2, False),
                     bucket=pad_first(bucket),
                     nb_label=pad_first(labn),
@@ -380,6 +401,37 @@ def _trait_distance(mean_a, var_a, mean_b, var_b, bucket, p: OversegParams):
     return _desc_distance(mean_a, mean_b, bucket, p)
 
 
+def _thresholds(p: OversegParams):
+    """Effective (merge, split) descriptor thresholds: with the gradient
+    trait, the per-trait thresholds aggregate like the distances
+    (AggregatedDescriptorTraits, pixel_distance.h:762-772)."""
+    if not p.gradient_trait:
+        return p.merge_threshold, p.split_threshold
+    from video_segment_tpu.ops import pixel_distance as pd
+    return (pd.aggregate_scalar(p.merge_threshold,
+                                pd.GRADIENT_MERGE_THRESHOLD,
+                                p.aggregator, p.linear_weight),
+            pd.aggregate_scalar(p.split_threshold,
+                                pd.GRADIENT_SPLIT_THRESHOLD,
+                                p.aggregator, p.linear_weight))
+
+
+def _pair_dist_fn(p: OversegParams, nf: int):
+    """Pixel-edge distance over packed (..., nf) features (color in
+    channels 0:3, gradient in 3:5 when present): the bucket source for
+    edge extraction, aggregated per AggregatedDistance."""
+    if not p.gradient_trait or nf < 5:
+        return lambda a, b: _dist(a[..., 0:3], b[..., 0:3], p.metric)
+    from video_segment_tpu.ops import pixel_distance as pd
+
+    def fn(a, b):
+        dc = _dist(a[..., 0:3], b[..., 0:3], p.metric)
+        dg = pd.gradient_distance(a[..., 3:5], b[..., 3:5], p.metric)
+        return pd.aggregate(dc, dg, p.aggregator, p.linear_weight)
+
+    return fn
+
+
 def _select_partners(best_bucket, best_partner, label_flat, n):
     """Region-level Boruvka selection from per-pixel (bucket, partner) bests:
     two int32 segment-mins (min bucket, then min partner at that bucket —
@@ -410,17 +462,20 @@ def _apply_merge(state: SolverState, partner, n, up=None):
     root = cc.pointer_jump(parent)
     # One fused segment-sum carries color sums, size, and the sticky OR'd
     # fin/frozen flags (sum > 0 == OR); constraint ids keep max semantics.
-    stats = jnp.concatenate(
-        [state.csum, state.size[:, None],
-         state.fin.astype(jnp.float32)[:, None],
-         state.frozen.astype(jnp.float32)[:, None], state.sqsum], axis=1)
-    stats = jax.ops.segment_sum(stats, root, num_segments=n)
+    cols = [state.csum, state.size[:, None],
+            state.fin.astype(jnp.float32)[:, None],
+            state.frozen.astype(jnp.float32)[:, None], state.sqsum]
+    if state.gsum is not None:
+        cols.append(state.gsum)
+    stats = jax.ops.segment_sum(jnp.concatenate(cols, axis=1), root,
+                                num_segments=n)
     constr = jax.ops.segment_max(state.constr, root, num_segments=n)
     label = root[state.label]
     moved = jnp.sum(root != slots)
     return SolverState(label, stats[:, 0:3], stats[:, 3], constr,
-                       stats[:, 4] > 0, stats[:, 5] > 0,
-                       stats[:, 6:9]), moved, jnp.sum(have)
+                       stats[:, 4] > 0, stats[:, 5] > 0, stats[:, 6:9],
+                       stats[:, 9:11] if state.gsum is not None else None
+                       ), moved, jnp.sum(have)
 
 
 def _round(state: SolverState, vol, flow, theta, up, mode, n, sink,
@@ -584,7 +639,8 @@ def _extract_edges(memb3, vol, flow, nseg, sink, p, global_base: int = 0,
     if tab is None:
         tab = jnp.full((d_cols, nseg), _I32MAX, jnp.int32)
     tab, _ = _fold_dirs_raw(vol, memb3, flow, p.metric, SPATIAL_FWD, False,
-                            fold, (tab, jnp.int32(0)))
+                            fold, (tab, jnp.int32(0)),
+                            pair_dist=_pair_dist_fn(p, vol.shape[-1]))
     return tab
 
 
@@ -649,12 +705,20 @@ def _table_round(ts: SolverState, ptn, pbk, theta, up, mode, nseg, sink,
         & (own[:, None] != sink) & (a2 != sink)
     dd = _trait_distance(own_mean[:, None, :], own_var,
                          nb_mean, nb_var, pbk, p)
+    if p.gradient_trait:
+        from video_segment_tpu.ops import pixel_distance as pd
+        gmean = ts.gsum / jnp.maximum(ts.size, 1.0)[:, None]
+        dd = pd.aggregate(
+            dd, pd.gradient_trait_distance(gmean[own][:, None, :],
+                                           gmean[a2]),
+            p.aggregator, p.linear_weight)
+    mthr, sthr = _thresholds(p)
 
     either_free = (own_constr[:, None] < 0) | (nb_constr < 0)
     regular = (either_free & ~own_fin[:, None] & ~nb_fin
-               & (dd < p.merge_threshold))
+               & (dd < mthr))
     constr_same = (~either_free & (own_constr[:, None] == nb_constr)
-                   & (dd <= p.split_threshold))
+                   & (dd <= sthr))
     adm_merge = (pbk <= theta) & (regular | constr_same)
     both_constr_diff = (~either_free) & (own_constr[:, None] != nb_constr)
     own_small = own_size < p.min_region_size
@@ -708,12 +772,20 @@ def _table_level_end(ts: SolverState, tab, theta, nseg, sink,
     act = live & (bkt <= theta)
     dd = _trait_distance(own_mean[:, None, :], own_var,
                          nb_mean, nb_var, bkt, p)
+    if p.gradient_trait:
+        from video_segment_tpu.ops import pixel_distance as pd
+        gmean = ts.gsum / jnp.maximum(ts.size, 1.0)[:, None]
+        dd = pd.aggregate(
+            dd, pd.gradient_trait_distance(gmean[own][:, None, :],
+                                           gmean[a2]),
+            p.aggregator, p.linear_weight)
+    mthr, sthr = _thresholds(p)
 
     either_free = (own_constr[:, None] < 0) | (nb_constr < 0)
     fail = (act & either_free & ~own_fin[:, None] & ~nb_fin
-            & (dd >= p.merge_threshold))
+            & (dd >= mthr))
     split = (act & ~either_free & (own_constr[:, None] == nb_constr)
-             & (dd > p.split_threshold))
+             & (dd > sthr))
     uncon = split & ~(nb_size < 0.3 * own_size[:, None]) \
         & ~own_frozen[:, None]
 
@@ -758,7 +830,14 @@ def _merge_constrained(state: SolverState, num_constraints: int, n: int,
                             jnp.zeros(n, jnp.int32) + NUM_BUCKETS, p)
     else:
         d = _dist(mean, mean[target], p.metric)
-    merge = active & (state.frozen | (d <= p.split_threshold))
+    if p.gradient_trait and state.gsum is not None:
+        from video_segment_tpu.ops import pixel_distance as pd
+        gmean = state.gsum / jnp.maximum(state.size, 1.0)[:, None]
+        d = pd.aggregate(d, pd.gradient_trait_distance(gmean,
+                                                       gmean[target]),
+                         p.aggregator, p.linear_weight)
+    _, sthr = _thresholds(p)
+    merge = active & (state.frozen | (d <= sthr))
     uncon = active & ~merge & ~state.frozen
 
     state = state._replace(constr=jnp.where(uncon, -1, state.constr))
@@ -950,17 +1029,27 @@ def _init_table(vol, init_label, constr_init, frozen_init, fin_init,
     cidx = jnp.where(ok, cidx_all, r_cap)
     memb = cidx[init_label]                    # (N,) pixel -> slot (or sink)
 
-    volf = vol.reshape(n_pix, 3)
+    volf = vol.reshape(n_pix, -1)
+    color = volf[:, 0:3]
     ones = jnp.ones((n_pix, 1), jnp.float32)
+    cols = [color, ones]
     if params.descriptor == "color_mean_variance":
-        cols = jnp.concatenate([volf, ones, volf * volf], axis=1)
-    else:
-        cols = jnp.concatenate([volf, ones], axis=1)
-    stats = jax.ops.segment_sum(cols, memb, num_segments=nseg)
+        cols.append(color * color)
+    use_grad = params.gradient_trait and volf.shape[1] >= 5
+    if use_grad:
+        from video_segment_tpu.ops import pixel_distance as pd
+        cols.append(pd.sign_normalize(volf[:, 3:5]))
+    stats = jax.ops.segment_sum(jnp.concatenate(cols, axis=1), memb,
+                                num_segments=nseg)
     csum = stats[:, 0:3]
     size = stats[:, 3]
-    sqsum = (stats[:, 4:7] if stats.shape[1] > 4
-             else jnp.zeros((nseg, 3), jnp.float32))
+    off = 4
+    if params.descriptor == "color_mean_variance":
+        sqsum = stats[:, off:off + 3]
+        off += 3
+    else:
+        sqsum = jnp.zeros((nseg, 3), jnp.float32)
+    gsum = stats[:, off:off + 2] if use_grad else None
     if has_constraints:
         constr = jax.ops.segment_max(constr_init, memb, num_segments=nseg)
         frozen = jax.ops.segment_max(frozen_init.astype(jnp.int32), memb,
@@ -977,7 +1066,7 @@ def _init_table(vol, init_label, constr_init, frozen_init, fin_init,
     orig_slot = jnp.zeros(nseg, jnp.int32).at[
         jnp.where(ok, cidx_all, r_cap)].max(jnp.where(ok, slots, 0))
     ts = SolverState(jnp.arange(nseg, dtype=jnp.int32), csum, size, constr,
-                     fin, frozen, sqsum)
+                     fin, frozen, sqsum, gsum)
     return ts, memb, orig_slot
 
 
@@ -987,6 +1076,9 @@ def _solve_edge_table(vol, fl, init_label, constr_init, frozen_init,
     """Edge-table phases of the v2 solver (see module docstring and the
     OversegParams.edge_table comment).  `fl` is the flow or None."""
     t, h, w, _ = vol.shape
+    if params.gradient_trait:
+        from video_segment_tpu.ops import pixel_distance as pd
+        vol = jnp.concatenate([vol, pd.gradient_features(vol)], axis=-1)
     if params.bands > 1:
         return _solve_banded(vol, fl, init_label, constr_init, frozen_init,
                              fin_init, params, thetas, level_rounds,
@@ -1102,10 +1194,11 @@ def _boundary_edges(vol, memb_g, B: int, bh: int, G: int,
     and t>1 — undisplaced temporal (dt=-1, dy=+-1, dx in {-1,0,1}).
     Flow-displaced temporal edges stay clamped within their band (a one-row
     approximation at each seam)."""
-    t, h, w, _ = vol.shape
+    t, h, w, nf = vol.shape
     nseg_g = G + 1
     bits, bshift = _pack_spec(nseg_g)
-    volr = vol.reshape(t, B, bh, w, 3)
+    pair_dist = _pair_dist_fn(params, nf)
+    volr = vol.reshape(t, B, bh, w, nf)
     membr = memb_g.reshape(t, B, bh, w)
     lo_c = volr[:, :-1, -1]      # (t, B-1, w, 3): last row of band b
     hi_c = volr[:, 1:, 0]        # first row of band b+1
@@ -1118,7 +1211,7 @@ def _boundary_edges(vol, memb_g, B: int, bh: int, G: int,
             b_c = jnp.roll(b_c, -dx, axis=2)
             b_m = jnp.roll(b_m, -dx, axis=2)
         valid = (xs + dx >= 0) & (xs + dx < w)
-        d = _dist(a_c, b_c, params.metric)
+        d = pair_dist(a_c, b_c)
         bkt = jnp.minimum(_bucketize(d), NUM_BUCKETS - 2) >> bshift
         ok = valid & (a_m != G) & (b_m != G) & (a_m != b_m)
         pk_a = jnp.where(ok, (bkt << bits) | b_m, _I32MAX).reshape(-1)
@@ -1151,7 +1244,7 @@ def _solve_banded(vol, fl, init_label, constr_init, frozen_init, fin_init,
     into a disjoint global range; a boundary pass restores cross-band
     adjacency; the schedule/min-size/constraint phases then run on the
     concatenated global table exactly as in the monolithic solve."""
-    t, h, w, _ = vol.shape
+    t, h, w, nf = vol.shape
     B = params.bands
     if h % B or (h // B) % 8:
         raise ValueError(f"height {h} not divisible into {B} bands of "
@@ -1173,7 +1266,7 @@ def _solve_banded(vol, fl, init_label, constr_init, frozen_init, fin_init,
         perm = (1, 0, 2, 3, 4) if ch else (1, 0, 2, 3)
         return x.reshape(shape).transpose(perm)
 
-    vol_b = band_split(vol, 3)
+    vol_b = band_split(vol, nf)
     fl_b = (band_split(fl, 2) if fl is not None else
             jnp.zeros((B, max(t - 1, 0), bh, w, 2), jnp.float32))
     init3 = init_label.reshape(t, h, w)
@@ -1200,13 +1293,15 @@ def _solve_banded(vol, fl, init_label, constr_init, frozen_init, fin_init,
         # Delocalize original-root voxel ids.
         orig_g = (orig_b // (bh * w)) * (h * w) + bidx * (bh * w) \
             + orig_b % (bh * w)
+        gs = (ts_b.gsum if ts_b.gsum is not None
+              else jnp.zeros((cap_b + 1, 2), jnp.float32))
         return (ts_b.csum, ts_b.size, ts_b.constr, ts_b.fin, ts_b.frozen,
-                ts_b.sqsum, memb_b, tab_b, orig_g)
+                ts_b.sqsum, gs, memb_b, tab_b, orig_g)
 
     mapper = jax.vmap(band_fn) if params.bands_vmap else \
         functools.partial(jax.lax.map, band_fn)
-    (csum_s, size_s, constr_s, fin_s, frozen_s, sqsum_s, memb_s, tab_s,
-     orig_s) = mapper(
+    (csum_s, size_s, constr_s, fin_s, frozen_s, sqsum_s, gsum_s, memb_s,
+     tab_s, orig_s) = mapper(
         (vol_b, fl_b, init_local, constr_b, frozen_b, fin_b,
          jnp.arange(B, dtype=jnp.int32)))
 
@@ -1221,7 +1316,8 @@ def _solve_banded(vol, fl, init_label, constr_init, frozen_init, fin_init,
         label=jnp.arange(nseg_g, dtype=jnp.int32),
         csum=glue(csum_s, 0.0), size=glue(size_s, 0.0),
         constr=glue(constr_s, -1), fin=glue(fin_s, True),
-        frozen=glue(frozen_s, False), sqsum=glue(sqsum_s, 0.0))
+        frozen=glue(frozen_s, False), sqsum=glue(sqsum_s, 0.0),
+        gsum=glue(gsum_s, 0.0) if params.gradient_trait else None)
     orig_slot = glue(orig_s, 0)
 
     memb_g = jnp.where(memb_s == cap_b, sink_g,
@@ -1286,6 +1382,9 @@ def oversegment(vol, flow=None, constraints=None, init_label=None,
     if params.descriptor != "color_mean" and not params.edge_table:
         raise ValueError("descriptor traits other than color_mean require "
                          "the edge-table solver (edge_table=True)")
+    if params.gradient_trait and not params.edge_table:
+        raise ValueError("the gradient trait requires the edge-table "
+                         "solver (edge_table=True)")
     has_flow = flow is not None
     if flow is None:
         flow = jnp.zeros((max(t - 1, 0), h, w, 2), jnp.float32)

@@ -114,15 +114,45 @@ class VideoReader:
 
 
 class VideoWriter:
-    """Streaming BGR frame sink (mp4)."""
+    """Streaming BGR frame sink (mp4).
 
-    def __init__(self, path: str, width: int, height: int, fps: float):
-        fourcc = cv2.VideoWriter_fourcc(*"mp4v")
-        self._w = cv2.VideoWriter(path, fourcc, fps, (width, height))
+    Output-scaling options mirror VideoWriterOptions
+    (video_writer_unit.h:45-69): `scale` factor (overrides min/max-dim),
+    `scale_max_dim`/`scale_min_dim` fit the larger/smaller dimension, and
+    dimensions round to a multiple of `fraction`.  cv2's encoder exposes
+    no bit-rate control (the reference's bit_rate knob maps to
+    VIDEOWRITER_PROP_QUALITY where the backend supports it)."""
+
+    def __init__(self, path: str, width: int, height: int, fps: float,
+                 scale: float = 1.0, scale_max_dim: int = 0,
+                 scale_min_dim: int = 0, fraction: int = 4,
+                 quality: float = 0.0, fourcc: str = "mp4v"):
+        if scale_max_dim and scale_min_dim:
+            raise ValueError("scale_max_dim and scale_min_dim are "
+                             "mutually exclusive")
+        if scale != 1.0:
+            s = scale
+        elif scale_max_dim:
+            s = scale_max_dim / max(width, height)
+        elif scale_min_dim:
+            s = scale_min_dim / min(width, height)
+        else:
+            s = 1.0
+        frac = max(1, fraction)
+        self.width = max(frac, int(round(width * s / frac)) * frac)
+        self.height = max(frac, int(round(height * s / frac)) * frac)
+        self._w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*fourcc),
+                                  fps, (self.width, self.height))
         if not self._w.isOpened():
             raise IOError(f"cannot open video writer: {path}")
+        if quality > 0:
+            self._w.set(cv2.VIDEOWRITER_PROP_QUALITY, quality)
 
     def write(self, frame_bgr: np.ndarray):
+        if frame_bgr.shape[1] != self.width \
+                or frame_bgr.shape[0] != self.height:
+            frame_bgr = cv2.resize(frame_bgr, (self.width, self.height),
+                                   interpolation=cv2.INTER_AREA)
         self._w.write(frame_bgr)
 
     def close(self):

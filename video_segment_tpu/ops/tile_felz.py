@@ -125,7 +125,7 @@ def _dist(a, b, metric):
 
 
 def _solve_subtile(color3, gy, gx, h, w, *, schedule, rounds_per_level,
-                   merge_threshold, metric):
+                   merge_threshold, metric, fin_margin):
     """Full local solve of one (8,128) subtile.  Returns flat local root
     label (8,128) int32 in [0,1024) and per-pixel fin flag (8,128) f32.
 
@@ -166,7 +166,7 @@ def _solve_subtile(color3, gy, gx, h, w, *, schedule, rounds_per_level,
         mean_px = [_distribute(ohr, ohc_f, m) for m in mean_t]
         return mean_px
 
-    def merge_round(labr, labc, fin_t, theta, rnd):
+    def merge_round(labr, labc, fin_t, fin_x, theta, rnd):
         ohr = _onehot_rows(labr)
         ohc = _onehot_cols(labc)
         ohc_f = ohc.astype(jnp.float32)
@@ -202,48 +202,60 @@ def _solve_subtile(color3, gy, gx, h, w, *, schedule, rounds_per_level,
             .astype(jnp.int32)
         labc = _distribute(ohr, ohc_f, pb.astype(jnp.float32)) \
             .astype(jnp.int32)
-        return labr, labc, fin_t
+        return labr, labc, fin_t, fin_x
 
-    def level_end(labr, labc, fin_t, theta, _rnd):
+    def level_end(labr, labc, fin_t, fin_x, theta, _rnd):
         # Any failed merge test at weight <= theta finalizes both endpoint
-        # regions (segmentation_graph.h:399-402).
+        # regions (segmentation_graph.h:399-402).  The EXPORTED flag
+        # (fin_x) only records strong failures (dd >= margin * threshold):
+        # borderline tile-local failures often dissolve once the global
+        # phase sees whole-region means, and carrying them fragments the
+        # global result (round-3 sweep: margin gates the overseg region
+        # count between the carry-all and carry-none extremes).
         ohr = _onehot_rows(labr)
         ohc = _onehot_cols(labc)
         ohc_f = ohc.astype(jnp.float32)
         mean_px = region_views(labr, ohr, ohc_f)
         lab_flat = labr * TILE_W + labc
         fail = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+        strong = jnp.zeros((TILE_H, TILE_W), jnp.float32)
         for k, (dy, dx) in enumerate(DIRS):
             nb_mean = [_roll2(m, dy, dx) for m in mean_px]
             nb_lab = _roll2(lab_flat, dy, dx)
             dd = _dist(mean_px, nb_mean, metric)
-            bad = (valids[k] & (buckets[k] <= theta)
-                   & (nb_lab != lab_flat) & (dd >= merge_threshold))
+            act = (valids[k] & (buckets[k] <= theta)
+                   & (nb_lab != lab_flat))
+            bad = act & (dd >= merge_threshold)
             fail = jnp.maximum(fail, bad.astype(jnp.float32))
+            strong = jnp.maximum(
+                strong,
+                (act & (dd >= merge_threshold * fin_margin))
+                .astype(jnp.float32))
         fin_t = jnp.maximum(fin_t, _label_max(labr, ohc, fail))
-        return labr, labc, fin_t
+        fin_x = jnp.maximum(fin_x, _label_max(labr, ohc, strong))
+        return labr, labc, fin_t, fin_x
 
     def body(i, carry):
-        labr, labc, fin_t = carry
+        labr, labc, fin_t, fin_x = carry
         level = i // (r_per + 1)
         phase = i % (r_per + 1)
         theta = jnp.int32(0)
         for lv, th in enumerate(schedule):       # branch-free static lookup
             theta = jnp.where(level == lv, jnp.int32(th), theta)
         return jax.lax.cond(phase < r_per, merge_round, level_end,
-                            labr, labc, fin_t, theta, phase)
+                            labr, labc, fin_t, fin_x, theta, phase)
 
-    labr, labc, fin_t = jax.lax.fori_loop(
-        0, n_levels * (r_per + 1), body,
-        (rows, cols, jnp.zeros((TILE_H, TILE_W), jnp.float32)))
+    zeros = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    labr, labc, fin_t, fin_x = jax.lax.fori_loop(
+        0, n_levels * (r_per + 1), body, (rows, cols, zeros, zeros))
 
     fin_px = _distribute(_onehot_rows(labr),
-                         _onehot_cols(labc).astype(jnp.float32), fin_t)
+                         _onehot_cols(labc).astype(jnp.float32), fin_x)
     return labr * TILE_W + labc, fin_px
 
 
 def _kernel(vol_ref, out_ref, fin_ref, *, h, w, band_h, schedule,
-            rounds_per_level, merge_threshold, metric):
+            rounds_per_level, merge_threshold, metric, fin_margin):
     t_idx = pl.program_id(0)
     y_idx = pl.program_id(1)
     x_idx = pl.program_id(2)
@@ -259,7 +271,7 @@ def _kernel(vol_ref, out_ref, fin_ref, *, h, w, band_h, schedule,
         lab, fin = _solve_subtile(color3, gy, gx, h, w, schedule=schedule,
                                   rounds_per_level=rounds_per_level,
                                   merge_threshold=merge_threshold,
-                                  metric=metric)
+                                  metric=metric, fin_margin=fin_margin)
         # local root -> global voxel id
         root_y = y0 + (lab >> 7)
         root_x = x0 + (lab & 127)
@@ -273,12 +285,14 @@ def _kernel(vol_ref, out_ref, fin_ref, *, h, w, band_h, schedule,
 
 @functools.partial(jax.jit,
                    static_argnames=("schedule", "rounds_per_level",
-                                    "merge_threshold", "metric"))
+                                    "merge_threshold", "metric",
+                                    "fin_margin"))
 def tile_felzenszwalb(vol: jnp.ndarray,
                       schedule: tuple = (4, 32, 192, 1024),
                       rounds_per_level: int = 2,
                       merge_threshold: float = 0.05,
-                      metric: str = "l2"):
+                      metric: str = "l2",
+                      fin_margin: float = 1.0):
     """(T,H,W,3) float volume -> ((T,H,W) int32 labels, (T,H,W) bool fin).
 
     Labels are global voxel ids of in-tile roots (self-rooted).  `fin`
@@ -296,7 +310,8 @@ def tile_felzenszwalb(vol: jnp.ndarray,
         functools.partial(_kernel, h=h, w=w, band_h=band_h,
                           schedule=schedule,
                           rounds_per_level=rounds_per_level,
-                          merge_threshold=merge_threshold, metric=metric),
+                          merge_threshold=merge_threshold, metric=metric,
+                          fin_margin=fin_margin),
         out_shape=(jax.ShapeDtypeStruct((t, hp, wp), jnp.int32),
                    jax.ShapeDtypeStruct((t, hp, wp), jnp.int32)),
         grid=(t, hp // band_h, wp // TILE_W),
@@ -328,7 +343,8 @@ def tile_felzenszwalb(vol: jnp.ndarray,
 def tile_felz_reference(vol: np.ndarray, schedule=(4, 32, 192, 1024),
                         rounds_per_level: int = 2,
                         merge_threshold: float = 0.05,
-                        metric: str = "l2"):
+                        metric: str = "l2",
+                        fin_margin: float = 1.0):
     """Sequential NumPy mirror of the kernel, tile by tile."""
     t, h, w, _ = vol.shape
     out = np.zeros((t, h, w), np.int64)
@@ -342,7 +358,7 @@ def tile_felz_reference(vol: np.ndarray, schedule=(4, 32, 192, 1024),
                 pad[:hh, :ww] = vol[ti, y0:y0 + hh, x0:x0 + ww]
                 lab, fin = _ref_subtile(pad, hh, ww, schedule,
                                         rounds_per_level, merge_threshold,
-                                        metric)
+                                        metric, fin_margin)
                 ry, rx = lab[:hh, :ww] // TILE_W, lab[:hh, :ww] % TILE_W
                 out[ti, y0:y0 + hh, x0:x0 + ww] = \
                     ti * h * w + (y0 + ry) * w + (x0 + rx)
@@ -351,7 +367,7 @@ def tile_felz_reference(vol: np.ndarray, schedule=(4, 32, 192, 1024),
 
 
 def _ref_subtile(c, hh, ww, schedule, rounds_per_level, merge_threshold,
-                 metric):
+                 metric, fin_margin=1.0):
     def dist(a, b):
         d = a - b
         if metric == "l1":
@@ -375,6 +391,7 @@ def _ref_subtile(c, hh, ww, schedule, rounds_per_level, merge_threshold,
         valids[(dy, dx)] = v
 
     fin = np.zeros(TILE_H * TILE_W, bool)
+    fin_x = np.zeros(TILE_H * TILE_W, bool)
 
     def tables():
         csum = np.zeros((TILE_H * TILE_W, 3))
@@ -413,15 +430,21 @@ def _ref_subtile(c, hh, ww, schedule, rounds_per_level, merge_threshold,
         mean = tables()
         mean_px = mean[lab]
         fail = np.zeros((TILE_H, TILE_W), bool)
+        strong = np.zeros((TILE_H, TILE_W), bool)
         for dy, dx in DIRS:
             nb_lab = np.roll(np.roll(lab, -dy, axis=0), -dx, axis=1)
             nb_mean = np.roll(np.roll(mean_px, -dy, axis=0), -dx, axis=1)
             dd = dist(mean_px, nb_mean)
-            fail |= (valids[(dy, dx)] & (buckets[(dy, dx)] <= theta)
-                     & (nb_lab != lab) & (dd >= merge_threshold))
+            act = (valids[(dy, dx)] & (buckets[(dy, dx)] <= theta)
+                   & (nb_lab != lab))
+            fail |= act & (dd >= merge_threshold)
+            strong |= act & (dd >= merge_threshold * fin_margin)
         fail_t = np.zeros(TILE_H * TILE_W, bool)
         np.logical_or.at(fail_t, lab.ravel(), fail.ravel())
         fin |= fail_t
+        strong_t = np.zeros(TILE_H * TILE_W, bool)
+        np.logical_or.at(strong_t, lab.ravel(), strong.ravel())
+        fin_x |= strong_t
 
     # Resolve any residual label chains (the kernel caller's final
     # pointer_jump does the same).
@@ -432,4 +455,4 @@ def _ref_subtile(c, hh, ww, schedule, rounds_per_level, merge_threshold,
             break
         flat = nf
     lab = flat.reshape(lab.shape)
-    return lab, fin[lab]
+    return lab, fin_x[lab]
