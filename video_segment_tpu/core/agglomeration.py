@@ -349,8 +349,9 @@ def _run_all_levels(state: AggloState, edges, evalid, constr_stack,
 
     for p, (cap, ecap_p, reeval) in enumerate(phases):
         if p > 0:
-            state, b2c, c2o, edges, evalid = _compact_phase(
-                state, b2c, c2o, edges, evalid, cap, ecap_p)
+            with jax.named_scope(f"agglo_compact_to_{cap}"):
+                state, b2c, c2o, edges, evalid = _compact_phase(
+                    state, b2c, c2o, edges, evalid, cap, ecap_p)
         # Continue in this phase while the hierarchy is unfinished and the
         # active count does not yet fit the next (smaller) phase.
         next_cap = phases[p + 1][0] if p + 1 < len(phases) else 0
@@ -446,7 +447,7 @@ def agglomerate(hist, flow_hist, flow_cnt, sizes, edges, num_regions: int,
         if os.environ.get("VST_VERBOSE"):
             import sys
             print(f"[stats] agglomeration level {l}: {active} -> "
-                  f"{new_active} regions", file=sys.stderr)
+                  f"{new_active} regions", file=sys.stderr, flush=True)
         active = new_active
         levels.append(labels_out[l].copy())
     return levels

@@ -101,7 +101,7 @@ class DenseSegmentation:
             import sys
             print(f"[dense] solving {frame_width}x{frame_height} in "
                   f"{bands} row bands (+{self._pad_rows} pad rows)",
-                  file=sys.stderr)
+                  file=sys.stderr, flush=True)
         elif not base.edge_table:
             max_chunk = options.max_solve_voxels // max(frame_width
                                                         * frame_height,
@@ -110,7 +110,7 @@ class DenseSegmentation:
                 import sys
                 print(f"[dense] chunk_size {options.chunk_size} -> "
                       f"{max(3, max_chunk)} to respect max_solve_voxels "
-                      f"at {frame_width}x{frame_height}", file=sys.stderr)
+                      f"at {frame_width}x{frame_height}", file=sys.stderr, flush=True)
                 options.chunk_size = max(3, max_chunk)
         self.options = options
         self.frame_width = frame_width
@@ -372,7 +372,7 @@ class DenseSegmentation:
             print(f"[timing] chunk {self._chunk_id} preseg "
                   f"{t_solve0 - t_pre0:.2f}s solve "
                   f"({'constrained' if constraints is not None else 'free'})"
-                  f" {t_solve1 - t_solve0:.2f}s", file=sys.stderr)
+                  f" {t_solve1 - t_solve0:.2f}s", file=sys.stderr, flush=True)
         if os.environ.get("VST_VERBOSE"):
             # Merge statistics in the spirit of the reference's per-run
             # summary (segmentation_graph.h:452-462): region count, share
@@ -384,7 +384,7 @@ class DenseSegmentation:
             print(f"[stats] chunk {self._chunk_id}: regions={len(live)} "
                   f"small={n_small} constrained={n_con} "
                   f"min_region_size={self.min_region_size}",
-                  file=sys.stderr)
+                  file=sys.stderr, flush=True)
 
         if self.options.enforce_n4_connectivity:
             labels = np.stack([rle.enforce_n4_connectivity(f) for f in labels])
@@ -462,7 +462,7 @@ class DenseSegmentation:
         if timing:
             import sys
             print(f"[timing] chunk {self._chunk_id} dense-host-tail "
-                  f"{time.monotonic() - t_solve1:.2f}s", file=sys.stderr)
+                  f"{time.monotonic() - t_solve1:.2f}s", file=sys.stderr, flush=True)
 
         # Prepare next chunk state.
         if flush:

@@ -1086,11 +1086,13 @@ def _solve_edge_table(vol, fl, init_label, constr_init, frozen_init,
     r_cap = _table_cap(params, n_pix, h, w, has_constraints)
     nseg = r_cap + 1
     sink = r_cap
-    ts, memb, orig_slot = _init_table(vol, init_label, constr_init,
-                                      frozen_init, fin_init, r_cap,
-                                      has_constraints, params)
-
-    tab = _extract_edges(memb.reshape(t, h, w), vol, fl, nseg, sink, params)
+    with jax.named_scope("overseg_init_table"):
+        ts, memb, orig_slot = _init_table(vol, init_label, constr_init,
+                                          frozen_init, fin_init, r_cap,
+                                          has_constraints, params)
+    with jax.named_scope("overseg_extract_edges"):
+        tab = _extract_edges(memb.reshape(t, h, w), vol, fl, nseg, sink,
+                             params)
     return _finish_table_solve(ts, tab, memb, orig_slot, init_label,
                                (t, h, w), params, thetas, level_rounds,
                                has_constraints)
@@ -1104,7 +1106,8 @@ def _finish_table_solve(ts, tab, memb, orig_slot, init_label, shape3,
     n_pix = t * h * w
     nseg = ts.label.shape[0]
     sink = nseg - 1
-    ptn, pbk = _topk_edges(tab, params.edge_topk)
+    with jax.named_scope("overseg_topk_edges"):
+        ptn, pbk = _topk_edges(tab, params.edge_topk)
     # Level-end failure tests sweep the full extraction table when it is
     # affordable; very large (banded) tables fall back to the per-slot
     # top-K edges (the K smallest — higher-bucket incident edges then miss
@@ -1158,7 +1161,8 @@ def _finish_table_solve(ts, tab, memb, orig_slot, init_label, shape3,
                         ptn, pbk)
         return _table_level_end(ts, end_tab, thetas[l], nseg, sink, params)
 
-    ts = jax.lax.fori_loop(0, thetas.shape[0], level_body, ts)
+    with jax.named_scope("overseg_schedule_levels"):
+        ts = jax.lax.fori_loop(0, thetas.shape[0], level_body, ts)
 
     if params.min_region_size > 1:
         ts = run_rounds(ts, jnp.int32(NUM_BUCKETS),

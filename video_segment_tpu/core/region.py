@@ -230,7 +230,7 @@ class RegionSegmentation:
             import sys
             print(f"[timing] region accumulate_chunk "
                   f"{time.monotonic() - t0:.2f}s ({len(chunk.gids)} regions)",
-                  file=sys.stderr)
+                  file=sys.stderr, flush=True)
         self._chunks.append(chunk)
 
     def _accumulate_chunk(self, chunk: _ChunkData):
@@ -468,7 +468,7 @@ class RegionSegmentation:
             import sys
             print(f"[timing] region agglomerate {time.monotonic() - t_ag0:.2f}s"
                   f" ({r} regions, {len(pairs)} edges, "
-                  f"{len(levels_raw)} levels)", file=sys.stderr)
+                  f"{len(levels_raw)} levels)", file=sys.stderr, flush=True)
         t_emit0 = time.monotonic()
 
         # Per-level ids: minimum member over-segmentation gid, then inherit
@@ -530,7 +530,7 @@ class RegionSegmentation:
             import sys
             print(f"[timing] region set-emit "
                   f"{time.monotonic() - t_emit0:.2f}s "
-                  f"({len(results)} frames)", file=sys.stderr)
+                  f"({len(results)} frames)", file=sys.stderr, flush=True)
         return results
 
     def _inherit_ids(self, levels_raw, level_ids, all_gids, sizes, r):

@@ -207,6 +207,14 @@ def main(argv=None):
         if n_out % 20 == 0:
             print(f"__STREAMING_SIZE__: {n_out}")
 
+    # xprof-compatible device trace (SURVEY §5 tracing equivalent): set
+    # VST_PROFILE=<dir> to capture a jax.profiler trace of the run; the
+    # solver/agglomeration phases carry jax.named_scope annotations.
+    profile_dir = os.environ.get("VST_PROFILE", "")
+    if profile_dir:
+        import jax
+        jax.profiler.start_trace(profile_dir)
+
     t0 = time.time()
     n_out = 0
 
@@ -303,6 +311,11 @@ def main(argv=None):
     reader.close()
     if flow_fn is not None:
         flow_fn.close()
+
+    if profile_dir:
+        import jax
+        jax.profiler.stop_trace()
+        print(f"profiler trace written to {profile_dir}")
 
     dt = time.time() - t0
     fps = n_out / dt if dt > 0 else 0.0
