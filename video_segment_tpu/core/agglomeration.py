@@ -387,7 +387,7 @@ def agglomerate(hist, flow_hist, flow_cnt, sizes, edges, num_regions: int,
                 cutoff_fraction: float = 0.8, penalizer: float = 0.25,
                 use_flow: bool = True, max_subrounds: int = 6,
                 constraints=None, win_hist=None, win_cnt=None,
-                reeval_cap: int = 256, phase_floor: int = 256,
+                reeval_cap: int = 1024, phase_floor: int = 256,
                 edge_degree: int = 16):
     """Run the full level loop; returns list of per-level (R,) root arrays.
 
