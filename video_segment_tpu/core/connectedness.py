@@ -61,86 +61,109 @@ def enforce_spatial_connectedness(labels: np.ndarray, num_regions: int,
     diag_thresh = 0.04 * np.hypot(h, w)
 
     comps = []
-    tables = []
+    regions_l, areas_l, cxs_l, cys_l, mxs_l, mys_l = [], [], [], [], [], []
+    offsets = [0]
     for f in range(t):
         comp, region, area, cx, cy = _frame_components(labels[f])
         comps.append(comp)
-        tables.append((region, area, cx, cy))
+        # Advect centroids into the previous frame along backward flow
+        # before matching (raw centroid when flow is absent).
+        mx, my = cx.copy(), cy.copy()
+        if flow is not None and f > 0:
+            fl = flow[f - 1]
+            iy = np.clip(np.round(cy).astype(np.int64), 0, h - 1)
+            ix = np.clip(np.round(cx).astype(np.int64), 0, w - 1)
+            mx = cx + fl[iy, ix, 0].astype(np.float64)
+            my = cy + fl[iy, ix, 1].astype(np.float64)
+        regions_l.append(region)
+        areas_l.append(area)
+        cxs_l.append(cx)
+        cys_l.append(cy)
+        mxs_l.append(mx)
+        mys_l.append(my)
+        offsets.append(offsets[-1] + len(region))
 
-    # Per region, link components frame-to-frame into tubes.
-    # tube id assignment per (frame, comp): -1 = unassigned.
-    tube_of = [np.full(len(tables[f][0]), -1, np.int64) for f in range(t)]
-    tubes = []  # per tube: dict(region, frames=[(f, comp_idx, area)], area)
-
-    # Open tubes from the previous frame, grouped per region:
-    # {region: [(tube_id, cx, cy, area), ...]} — regions have only a handful
-    # of per-frame components, so matching stays linear.
-    open_prev: dict = {}
-    for f in range(t):
-        region, area, cx, cy = tables[f]
-        fl = flow[f - 1] if (flow is not None and f > 0) else None
-        open_now: dict = {}
-        for ci in range(len(region)):
-            r = int(region[ci])
-            if r < 0:
-                continue
-            # Advect the centroid into the previous frame along backward
-            # flow before matching (raw centroid when flow is absent).
-            mx, my = cx[ci], cy[ci]
-            if fl is not None:
-                iy = min(max(int(round(my)), 0), h - 1)
-                ix = min(max(int(round(mx)), 0), w - 1)
-                mx = mx + float(fl[iy, ix, 0])
-                my = my + float(fl[iy, ix, 1])
-            best = None
-            best_d = diag_thresh
-            for tid, px, py, pa in open_prev.get(r, ()):
-                d = np.hypot(mx - px, my - py)
-                ratio = min(area[ci], pa) / max(area[ci], pa, 1.0)
-                if d < best_d and ratio > 0.75:
-                    best = tid
-                    best_d = d
-            if best is None:
-                best = len(tubes)
-                tubes.append({"region": r, "area": 0.0, "count": 0})
-            tube_of[f][ci] = best
-            tubes[best]["area"] += float(area[ci])
-            tubes[best]["count"] += 1
-            open_now.setdefault(r, []).append(
-                (best, float(cx[ci]), float(cy[ci]), float(area[ci])))
-        open_prev = open_now
+    region_a = np.concatenate(regions_l)
+    area_a = np.concatenate(areas_l)
+    nat = native.link_tubes(region_a, area_a, np.concatenate(cxs_l),
+                            np.concatenate(cys_l), np.concatenate(mxs_l),
+                            np.concatenate(mys_l), np.asarray(offsets),
+                            diag_thresh)
+    if nat is not None:
+        tube_flat, t_region, t_area, t_count = nat
+    else:
+        tube_flat, t_region, t_area, t_count = _link_tubes_py(
+            region_a, area_a, np.concatenate(cxs_l), np.concatenate(cys_l),
+            np.concatenate(mxs_l), np.concatenate(mys_l),
+            np.asarray(offsets), diag_thresh)
+    n_tubes = len(t_region)
 
     # Pick the largest tube per region; everything else becomes new regions
     # (tiny tubes are folded into the region's main tube to avoid noise,
     # mirroring the reference's small-tube merging).
-    main_tube = {}
-    for tid, tube in enumerate(tubes):
-        r = tube["region"]
-        if r not in main_tube or tube["area"] > tubes[main_tube[r]]["area"]:
-            main_tube[r] = tid
+    main_area = np.full(num_regions, -1.0)
+    np.maximum.at(main_area, t_region, t_area)
+    is_main = np.zeros(n_tubes, bool)
+    claimed = np.zeros(num_regions, bool)
+    for tid in range(n_tubes):  # first max-area tube per region wins
+        r = t_region[tid]
+        if not claimed[r] and t_area[tid] == main_area[r]:
+            is_main[tid] = True
+            claimed[r] = True
+    tiny = t_area / np.maximum(t_count, 1) < min_avg_tube_area
+    keep_with_region = is_main | tiny
+    new_ids = np.where(keep_with_region, t_region, 0).astype(np.int64)
+    split = np.flatnonzero(~keep_with_region)
+    new_ids[split] = num_regions + np.arange(len(split))
+    origin = np.concatenate([np.arange(num_regions, dtype=np.int64),
+                             t_region[split]])
 
-    origin = list(range(num_regions))
-    new_id_of_tube = {}
-    for tid, tube in enumerate(tubes):
-        r = tube["region"]
-        if tid == main_tube[r]:
-            new_id_of_tube[tid] = r
-        elif tube["area"] / max(tube["count"], 1) < min_avg_tube_area:
-            new_id_of_tube[tid] = r  # keep tiny islands with their region
-        else:
-            new_id_of_tube[tid] = len(origin)
-            origin.append(r)
-
-    if len(origin) == num_regions:
-        return labels, num_regions, np.asarray(origin, np.int64)
+    if len(split) == 0:
+        return labels, num_regions, origin
 
     out = labels.copy()
     for f in range(t):
-        mapping = np.asarray(
-            [new_id_of_tube.get(tid, 0) if tid >= 0 else 0
-             for tid in tube_of[f]], np.int64)
+        tids = tube_flat[offsets[f]:offsets[f + 1]]
+        mapping = np.where(tids >= 0, new_ids[np.maximum(tids, 0)], 0)
         remapped = mapping[comps[f]]
         keep = remapped != labels[f]
         if keep.any():
             out[f] = np.where(keep, remapped, out[f])
-    return out, len(origin), np.asarray(origin, np.int64)
+    return out, len(origin), origin
+
+
+def _link_tubes_py(region_a, area_a, cx_a, cy_a, mx_a, my_a, offsets,
+                   diag_thresh):
+    """Pure-Python fallback of native.link_tubes (same semantics)."""
+    n = len(region_a)
+    tube_of = np.full(n, -1, np.int64)
+    t_region, t_area, t_count = [], [], []
+    open_prev: dict = {}
+    for f in range(len(offsets) - 1):
+        open_now: dict = {}
+        for ci in range(int(offsets[f]), int(offsets[f + 1])):
+            r = int(region_a[ci])
+            if r < 0:
+                continue
+            best = None
+            best_d = diag_thresh
+            for tid, px, py, pa in open_prev.get(r, ()):
+                d = np.hypot(mx_a[ci] - px, my_a[ci] - py)
+                ratio = min(area_a[ci], pa) / max(area_a[ci], pa, 1.0)
+                if d < best_d and ratio > 0.75:
+                    best = tid
+                    best_d = d
+            if best is None:
+                best = len(t_region)
+                t_region.append(r)
+                t_area.append(0.0)
+                t_count.append(0)
+            tube_of[ci] = best
+            t_area[best] += float(area_a[ci])
+            t_count[best] += 1
+            open_now.setdefault(r, []).append(
+                (best, float(cx_a[ci]), float(cy_a[ci]),
+                 float(area_a[ci])))
+        open_prev = open_now
+    return (tube_of, np.asarray(t_region, np.int64),
+            np.asarray(t_area), np.asarray(t_count, np.int64))

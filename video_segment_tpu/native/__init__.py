@@ -54,6 +54,14 @@ def _load():
         ctypes.c_int32, ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
         ctypes.POINTER(ctypes.c_float)]
+    lib.link_tubes.restype = ctypes.c_int64
+    lib.link_tubes.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int32, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64)]
     lib.weighted_bincount.restype = None
     lib.weighted_bincount.argtypes = [
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_float),
@@ -167,3 +175,38 @@ def weighted_bincount(keys: np.ndarray, weights: np.ndarray, m: int,
         len(keys), m, n_threads,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     return out
+
+
+def link_tubes(region, area, cx, cy, mx, my, offsets, diag_thresh):
+    """Tube matching for spatial-connectedness (see vst_native.cc).
+
+    Concatenated per-frame component tables + frame offsets; returns
+    (tube_of (n,), tube_region (T,), tube_area (T,), tube_count (T,))
+    or None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(region)
+    region = np.ascontiguousarray(region, np.int64)
+    area = np.ascontiguousarray(area, np.float64)
+    cx = np.ascontiguousarray(cx, np.float64)
+    cy = np.ascontiguousarray(cy, np.float64)
+    mx = np.ascontiguousarray(mx, np.float64)
+    my = np.ascontiguousarray(my, np.float64)
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    tube_of = np.empty(n, np.int64)
+    t_region = np.empty(max(n, 1), np.int64)
+    t_area = np.empty(max(n, 1), np.float64)
+    t_count = np.empty(max(n, 1), np.int64)
+    dp = ctypes.POINTER(ctypes.c_double)
+    ip = ctypes.POINTER(ctypes.c_int64)
+    n_tubes = lib.link_tubes(
+        region.ctypes.data_as(ip), area.ctypes.data_as(dp),
+        cx.ctypes.data_as(dp), cy.ctypes.data_as(dp),
+        mx.ctypes.data_as(dp), my.ctypes.data_as(dp),
+        offsets.ctypes.data_as(ip), len(offsets) - 1,
+        ctypes.c_double(diag_thresh),
+        tube_of.ctypes.data_as(ip), t_region.ctypes.data_as(ip),
+        t_area.ctypes.data_as(dp), t_count.ctypes.data_as(ip))
+    return (tube_of, t_region[:n_tubes], t_area[:n_tubes],
+            t_count[:n_tubes])

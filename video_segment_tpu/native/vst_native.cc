@@ -15,6 +15,7 @@
 #include <cmath>
 #include <cstdint>
 #include <thread>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -182,6 +183,68 @@ void weighted_bincount(const int64_t* keys, const float* weights, int64_t n,
   std::vector<std::thread> threads;
   for (int32_t k = 0; k < n_threads; ++k) threads.emplace_back(worker, k);
   for (auto& th : threads) th.join();
+}
+
+// Tube matching for spatial-connectedness enforcement
+// (dense_segmentation_graph.h:735-742 semantics): link per-frame region
+// components into tubes by centroid distance + area ratio against the
+// previous frame's open tubes of the same region.
+//
+// Inputs are concatenated per-frame component tables (frame f's
+// components occupy [offsets[f], offsets[f+1])): region id, area, raw
+// centroid (cx, cy) and flow-advected match centroid (mx, my).
+// Outputs: tube_of per component, and per-tube (region, area, count)
+// tables (capacity = n_comps).  Returns the tube count.
+int64_t link_tubes(const int64_t* region, const double* area,
+                   const double* cx, const double* cy, const double* mx,
+                   const double* my, const int64_t* offsets,
+                   int32_t n_frames, double diag_thresh,
+                   int64_t* tube_of, int64_t* tube_region,
+                   double* tube_area, int64_t* tube_count) {
+  struct Open {
+    int64_t tube;
+    double x, y, a;
+  };
+  // Open tubes of the previous frame, bucketed by region id.
+  std::unordered_map<int64_t, std::vector<Open>> prev_tab, now_tab;
+  int64_t n_tubes = 0;
+  for (int32_t f = 0; f < n_frames; ++f) {
+    now_tab.clear();
+    for (int64_t ci = offsets[f]; ci < offsets[f + 1]; ++ci) {
+      const int64_t r = region[ci];
+      if (r < 0) {
+        tube_of[ci] = -1;
+        continue;
+      }
+      int64_t best = -1;
+      double best_d = diag_thresh;
+      auto it = prev_tab.find(r);
+      if (it != prev_tab.end()) {
+        for (const Open& o : it->second) {
+          const double dx = mx[ci] - o.x, dy = my[ci] - o.y;
+          const double d = std::sqrt(dx * dx + dy * dy);
+          const double lo = std::min(area[ci], o.a);
+          const double hi = std::max(std::max(area[ci], o.a), 1.0);
+          if (d < best_d && lo / hi > 0.75) {
+            best = o.tube;
+            best_d = d;
+          }
+        }
+      }
+      if (best < 0) {
+        best = n_tubes++;
+        tube_region[best] = r;
+        tube_area[best] = 0.0;
+        tube_count[best] = 0;
+      }
+      tube_of[ci] = best;
+      tube_area[best] += area[ci];
+      tube_count[best] += 1;
+      now_tab[r].push_back(Open{best, cx[ci], cy[ci], area[ci]});
+    }
+    std::swap(prev_tab, now_tab);
+  }
+  return n_tubes;
 }
 
 }  // extern "C"
