@@ -97,12 +97,12 @@ def test_banded_constrained_continuity():
                              frozen=jnp.asarray(frozen),
                              params=PARAMS._replace(bands=bands))
         lab = np.asarray(res.label)
-        constr = np.asarray(res.constr)
         # every frozen-plane strip ends as one region carrying its cid
         for s in range(4):
             roots = np.unique(lab[0][:, strip == s])
             assert len(roots) == 1, (bands, s, roots)
-            assert constr[roots[0]] == s
+            constr, _ = ov.region_attrs(res, roots)
+            assert constr[0] == s
 
 
 def test_banded_vmap_matches_map():

@@ -83,12 +83,12 @@ def test_constraints_same_id_merges_and_survives():
                          constraints=jnp.asarray(constraints),
                          params=_params())
     lab = _labels_np(res)
-    constr = np.asarray(res.constr)
     left_root = lab[1, 0, 0]
     right_root = lab[1, 0, -1]
     assert left_root != right_root
-    assert constr[left_root] == 0
-    assert constr[right_root] == 1
+    constr, _ = ov.region_attrs(res, np.asarray([left_root, right_root]))
+    assert constr[0] == 0
+    assert constr[1] == 1
 
 
 def test_constraints_different_ids_never_merge():
@@ -145,9 +145,9 @@ def test_region_sizes_match():
     vol[:, :, w // 2:] = 0.8
     res = ov.oversegment(jnp.asarray(vol), params=_params())
     lab = _labels_np(res)[0]
-    size = np.asarray(res.size)
-    assert size[lab[0, 0]] == h * w // 2
-    assert size[lab[0, -1]] == h * w // 2
+    _, size = ov.region_attrs(res, np.asarray([lab[0, 0], lab[0, -1]]))
+    assert size[0] == h * w // 2
+    assert size[1] == h * w // 2
 
 
 def test_color_mean_variance_trait_adaptive_gating():

@@ -365,7 +365,6 @@ class DenseSegmentation:
                              init_label=init_label, frozen=frozen,
                              fin=tile_fin, params=params)
         labels = np.asarray(res.label)[:t, :h]
-        constr_all = np.asarray(res.constr)
         t_solve1 = time.monotonic()
         if timing:
             import sys
@@ -378,9 +377,10 @@ class DenseSegmentation:
             # summary (segmentation_graph.h:452-462): region count, share
             # below min size, share carrying constraints.
             import sys
-            live = res.size[res.size > 0]
+            sz = np.asarray(res.size)
+            live = sz[sz > 0]
             n_small = int((live < self.min_region_size).sum())
-            n_con = int((constr_all[np.asarray(res.size) > 0] >= 0).sum())
+            n_con = int((np.asarray(res.constr)[sz > 0] >= 0).sum())
             print(f"[stats] chunk {self._chunk_id}: regions={len(live)} "
                   f"small={n_small} constrained={n_con} "
                   f"min_region_size={self.min_region_size}",
@@ -391,7 +391,7 @@ class DenseSegmentation:
 
         compact, roots = rle.compact_labels(labels)
         num_regions = len(roots)
-        constr_of_region = constr_all[roots]
+        constr_of_region, _ = ov.region_attrs(res, roots)
 
         if self.options.enforce_spatial_connectedness:
             from video_segment_tpu.core import connectedness

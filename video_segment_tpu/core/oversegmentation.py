@@ -47,6 +47,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from video_segment_tpu.ops import cc
 
@@ -192,9 +193,30 @@ class SolverState(NamedTuple):
 
 
 class OversegResult(NamedTuple):
-    label: jnp.ndarray   # (T,H,W) int32 root per voxel
-    constr: jnp.ndarray  # (N,) int32 constraint id at root slots
-    size: jnp.ndarray    # (N,) f32 region sizes at root slots
+    """Solver output.  Region attributes are SLOT-spaced (table slots, a
+    few 100k at most) rather than scattered over pixel space — full-pixel
+    attribute arrays cost ~100MB/chunk over the remote-device link at
+    1080p.  `orig` maps live slots to the original root voxel ids used in
+    `label`; look attributes up via `region_attrs`."""
+    label: jnp.ndarray   # (T,H,W) int32 original root voxel id per voxel
+    constr: jnp.ndarray  # (S,) int32 constraint id per live slot (-1 free)
+    size: jnp.ndarray    # (S,) f32 region size per live slot (0 dead)
+    orig: jnp.ndarray    # (S,) int32 original root voxel id (-1 dead)
+
+
+def region_attrs(res: OversegResult, roots):
+    """(constr, size) for original-root ids `roots` (e.g. np.unique of the
+    label volume).  Roots with no live slot (sink overflow) come back
+    unconstrained with size 0."""
+    orig = np.asarray(res.orig)
+    order = np.argsort(orig)
+    so = orig[order]
+    pos = np.minimum(np.searchsorted(so, roots), len(so) - 1)
+    ok = so[pos] == roots
+    idx = order[pos]
+    constr = np.where(ok, np.asarray(res.constr)[idx], -1)
+    size = np.where(ok, np.asarray(res.size)[idx], 0.0)
+    return constr, size
 
 
 def _dist(a, b, metric):
@@ -989,15 +1011,10 @@ def _solve(vol, flow, init_label, constr_init, frozen_init, fin_init,
     # sink pools unrelated overflow regions, so it is excluded — its
     # regions come out unconstrained with sizes recomputed by the caller).
     live = (state.size > 0) & (jnp.arange(nseg) != sink)
-    tgt = jnp.where(live, orig_min, 0)
-    constr_out = jnp.full(n_pix, -1, jnp.int32)
-    constr_out = constr_out.at[tgt].max(
-        jnp.where(live, state.constr, -1))
-    size_out = jnp.zeros(n_pix, jnp.float32)
-    size_out = size_out.at[tgt].add(jnp.where(live, state.size, 0.0))
-
     return OversegResult(label=final.reshape(t, h, w),
-                         constr=constr_out, size=size_out)
+                         constr=jnp.where(live, state.constr, -1),
+                         size=jnp.where(live, state.size, 0.0),
+                         orig=jnp.where(live, orig_min, -1))
 
 
 def _table_cap(params: OversegParams, n_pix: int, h: int, w: int,
@@ -1179,13 +1196,10 @@ def _finish_table_solve(ts, tab, memb, orig_slot, init_label, shape3,
     root_px = ts.label[memb]
     final = jnp.where(root_px == sink, init_label, orig_min[root_px])
     live = (ts.size > 0) & (jnp.arange(nseg) != sink)
-    tgt = jnp.where(live, orig_min, 0)
-    constr_out = jnp.full(n_pix, -1, jnp.int32)
-    constr_out = constr_out.at[tgt].max(jnp.where(live, ts.constr, -1))
-    size_out = jnp.zeros(n_pix, jnp.float32)
-    size_out = size_out.at[tgt].add(jnp.where(live, ts.size, 0.0))
-    return OversegResult(label=final.reshape(t, h, w), constr=constr_out,
-                         size=size_out)
+    return OversegResult(label=final.reshape(t, h, w),
+                         constr=jnp.where(live, ts.constr, -1),
+                         size=jnp.where(live, ts.size, 0.0),
+                         orig=jnp.where(live, orig_min, -1))
 
 
 def _boundary_edges(vol, memb_g, B: int, bh: int, G: int,
