@@ -365,6 +365,13 @@ class DenseSegmentation:
                              init_label=init_label, frozen=frozen,
                              fin=tile_fin, params=params)
         labels = np.asarray(res.label)[:t, :h]
+        # Fetch the (small) slot attribute arrays NOW: they are outputs of
+        # the same program as `label`, so this costs nothing extra — but a
+        # later np.asarray would block behind whatever device work the
+        # region thread has queued in the meantime.
+        res = ov.OversegResult(label=None, constr=np.asarray(res.constr),
+                               size=np.asarray(res.size),
+                               orig=np.asarray(res.orig))
         t_solve1 = time.monotonic()
         if timing:
             import sys
