@@ -52,7 +52,8 @@ def run_pipeline(frames, width, height, use_flow=False,
     from video_segment_tpu.dataio import emit
     from video_segment_tpu.runtime import pipeline as pl
 
-    ds = dense.DenseSegmentation(DenseSegmentationOptions(), width, height)
+    ds = dense.DenseSegmentation(DenseSegmentationOptions(async_tail=True),
+                                 width, height)
     rs = (_NullRegion() if over_segment_only
           else region.RegionSegmentation(RegionSegmentationOptions(
               use_flow=use_flow), width, height))

@@ -133,3 +133,21 @@ def test_felz_per_frame_preseg_mode(rng):
         area = int(sum(sf.rxs - sf.lxs + 1))
         assert area == w * h
         assert list(sf.region_ids) == sorted(sf.region_ids)
+
+
+def test_async_tail_matches_sync():
+    """options.async_tail defers the host tail one chunk; the emitted
+    stream (order, ids, rasters, hierarchy) must be identical."""
+    frames = _synthetic_video(13)
+    sync = _run(frames)
+    asyn = _run(frames, async_tail=True)
+    assert [sf.frame_index for sf in sync] == [sf.frame_index for sf in asyn]
+    for a, b in zip(sync, asyn):
+        np.testing.assert_array_equal(_label_image(a), _label_image(b))
+        np.testing.assert_array_equal(a.region_ids, b.region_ids)
+        assert (a.hierarchy is None) == (b.hierarchy is None)
+        if a.hierarchy is not None:
+            np.testing.assert_array_equal(a.hierarchy[0].ids,
+                                          b.hierarchy[0].ids)
+            np.testing.assert_array_equal(a.hierarchy[0].neighbor_pairs,
+                                          b.hierarchy[0].neighbor_pairs)

@@ -220,3 +220,35 @@ def test_edge_table_matches_pixel_solver_on_real_texture():
     r2 = np.asarray(ov.oversegment(vol, init_label=init, params=p2).label)
     m = boundary_f_measure(r1, r2, tolerance=1)
     assert m["f_measure"] >= 0.85, m
+
+
+def test_mid_schedule_recompaction_preserves_partition(monkeypatch):
+    """Shrinking-phase recompaction (_recompact_table) must reproduce the
+    single-phase partition on structured content.  Phase constants are
+    patched small so a 16x32x3-frame volume crosses two phase boundaries
+    (production sizes recompact 98k -> 32k tables)."""
+    rng = np.random.default_rng(7)
+    t, h, w = 3, 16, 32
+    vol = np.zeros((t, h, w, 3), np.float32)
+    vol[:, :, : w // 2] = 0.2
+    vol[:, :, w // 2:] = 0.8
+    vol[:, h // 2:, : w // 2] = 0.5
+    vol += rng.normal(0, 0.004, size=vol.shape).astype(np.float32)
+    volj = jnp.asarray(vol)
+    params = _params(min_region_size=8)
+
+    ref = _labels_np(ov.oversegment(volj, params=params))
+
+    monkeypatch.setattr(ov, "_PHASE_Q", 256)
+    monkeypatch.setattr(ov, "_PHASE_FLOOR", 256)
+    caps = ov._table_phase_caps(
+        ov._table_cap(params, t * h * w, h, w, False) + 1)
+    assert len(caps) >= 2, caps  # the patched solve really recompacts
+    got = _labels_np(ov.oversegment(volj, params=params))
+
+    # Partition equality up to relabeling.
+    ids_a, inv_a = np.unique(ref, return_inverse=True)
+    ids_b, inv_b = np.unique(got, return_inverse=True)
+    assert len(ids_a) == len(ids_b)
+    pair = inv_a.astype(np.int64) * len(ids_b) + inv_b
+    assert len(np.unique(pair)) == len(ids_a)

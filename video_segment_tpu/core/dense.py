@@ -153,6 +153,16 @@ class DenseSegmentation:
         # Previous chunk state: global-id label images for the overlap
         # frames (plane 0 = emitted/frozen, plane 1.. = constrained).
         self._overlap_gids: list[np.ndarray] = []
+        # Deferred host tail (options.async_tail): one worker keeps tails
+        # strictly ordered; `_planes_ready` gates the next chunk's
+        # constraint build on the previous tail's overlap planes.
+        self._tail_exec = None
+        self._pending = None
+        self._planes_ready = None
+        if options.async_tail:
+            from concurrent.futures import ThreadPoolExecutor
+            self._tail_exec = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="dense-tail")
 
     # -- preprocessing ----------------------------------------------------
 
@@ -199,7 +209,18 @@ class DenseSegmentation:
                 flush or
                 len(self._buffer) - self._chunk_start >= self.options.chunk_size):
             return self._segment_chunk(flush)
+        if flush and self._pending is not None:
+            prev = self._pending
+            self._pending = None
+            self._planes_ready = None
+            return list(prev.result())
         return []
+
+    def join(self):
+        """Block until deferred tail work has settled (checkpointing and
+        direct streaming-state inspection need this with async_tail)."""
+        if self._pending is not None:
+            self._pending.result()
 
     # -- chunk solve ------------------------------------------------------
 
@@ -271,6 +292,11 @@ class DenseSegmentation:
                        else self._params.force_merge_weight)
                 tile_init = tile_preseg.tile_presegment(
                     vol, thr, self.options.color_distance)
+
+        # The previous chunk's (possibly deferred) tail produces the
+        # overlap constraint planes — the one true serialization point.
+        if self._planes_ready is not None:
+            self._planes_ready.wait()
 
         constraints = init_label = frozen = None
         cid_to_gid = np.zeros(0, np.int64)
@@ -393,45 +419,119 @@ class DenseSegmentation:
                   f"min_region_size={self.min_region_size}",
                   file=sys.stderr, flush=True)
 
-        if self.options.enforce_n4_connectivity:
-            labels = np.stack([rle.enforce_n4_connectivity(f) for f in labels])
+        # ---- host tail (deferrable) -------------------------------------
+        last_output = (t - 1) if flush else (t - self.overlap_frames)
+        flow_np = None
+        if (self.options.enforce_spatial_connectedness and self._has_flow
+                and t > 1):
+            flow_np = np.stack([f for f in self._flow_buffer[1:t]])
+        ctx = dict(labels=labels, res=res, cid_to_gid=cid_to_gid,
+                   flush=flush, t=t, last_output=last_output,
+                   had_constraints=bool(self._overlap_gids),
+                   chunk_start=self._chunk_start, chunk_id=self._chunk_id,
+                   flow_np=flow_np, t_fetch_done=t_solve1, timing=timing)
 
-        compact, roots = rle.compact_labels(labels)
-        num_regions = len(roots)
-        constr_of_region, _ = ov.region_attrs(res, roots)
+        # Rotate streaming state now — the tail never touches it, so new
+        # frames can buffer (and preseg) while the tail runs.
+        if flush:
+            self._buffer.clear()
+            self._preseg_buffer.clear()
+            self._flow_buffer.clear()
+            self._chunk_start = 0
+        else:
+            self._buffer = self._buffer[last_output:]
+            self._preseg_buffer = self._preseg_buffer[last_output:]
+            self._flow_buffer = self._flow_buffer[last_output:]
+            self._chunk_start = 1
+        self._chunk_id += 1
 
-        if self.options.enforce_spatial_connectedness:
-            from video_segment_tpu.core import connectedness
-            flow_np = None
-            if self._has_flow and t > 1:
-                flow_np = np.stack([f for f in self._flow_buffer[1:t]])
-            compact, n2, _origin = \
-                connectedness.enforce_spatial_connectedness(
-                    compact, num_regions, flow=flow_np)
-            if n2 > num_regions:
-                # Split-off tubes are new, unconstrained regions
-                # (dense_segmentation_graph.h:867-904 relabels them).
-                constr_of_region = np.concatenate(
-                    [constr_of_region,
-                     np.full(n2 - num_regions, -1, constr_of_region.dtype)])
-                num_regions = n2
+        if self._tail_exec is None:
+            return self._chunk_tail(ctx, None)
+        import threading
+        prev = self._pending
+        ev = threading.Event()
+        self._planes_ready = ev
+        self._pending = self._tail_exec.submit(self._chunk_tail, ctx, ev)
+        out = list(prev.result()) if prev is not None else []
+        if flush:
+            out += self._pending.result()
+            self._pending = None
+            self._planes_ready = None
+        return out
 
-        # Global id assignment (AssignUniqueRegionIds).
-        gids = np.full(num_regions, -1, np.int64)
-        constrained = constr_of_region >= 0
-        if constrained.any():
-            gids[constrained] = cid_to_gid[constr_of_region[constrained]]
-        new_idx = np.flatnonzero(~constrained)
-        gids[new_idx] = self._max_region_id + np.arange(len(new_idx))
-        self._max_region_id = max(self._max_region_id, int(gids.max()) + 1)
+    def _chunk_tail(self, ctx, planes_ready) -> list[SegFrame]:
+        """Post-solve host tail: n4 enforcement, label compaction, spatial
+        connectedness, global id assignment, overlap constraint planes
+        (signalled via `planes_ready` the moment they are set — the next
+        solve's only dependency), then hierarchy extraction and per-frame
+        RLE emission.  Runs on the tail worker under options.async_tail;
+        strictly ordered per chunk."""
+        import time
+        labels = ctx["labels"]
+        res = ctx["res"]
+        cid_to_gid = ctx["cid_to_gid"]
+        flush = ctx["flush"]
+        t = ctx["t"]
+        last_output = ctx["last_output"]
+        chunk_start = ctx["chunk_start"]
+        timing = ctx["timing"]
+        h, w = self.frame_height, self.frame_width
+
+        try:
+            marks = [("start", time.monotonic())]
+            if self.options.enforce_n4_connectivity:
+                labels = np.stack([rle.enforce_n4_connectivity(f)
+                                   for f in labels])
+            marks.append(("n4", time.monotonic()))
+
+            compact, roots = rle.compact_labels(labels)
+            num_regions = len(roots)
+            constr_of_region, _ = ov.region_attrs(res, roots)
+            marks.append(("compact", time.monotonic()))
+
+            if self.options.enforce_spatial_connectedness:
+                from video_segment_tpu.core import connectedness
+                compact, n2, _origin = \
+                    connectedness.enforce_spatial_connectedness(
+                        compact, num_regions, flow=ctx["flow_np"])
+                if n2 > num_regions:
+                    # Split-off tubes are new, unconstrained regions
+                    # (dense_segmentation_graph.h:867-904 relabels them).
+                    constr_of_region = np.concatenate(
+                        [constr_of_region,
+                         np.full(n2 - num_regions, -1,
+                                 constr_of_region.dtype)])
+                    num_regions = n2
+            marks.append(("connect", time.monotonic()))
+
+            # Global id assignment (AssignUniqueRegionIds).
+            gids = np.full(num_regions, -1, np.int64)
+            constrained = constr_of_region >= 0
+            if constrained.any():
+                gids[constrained] = cid_to_gid[constr_of_region[constrained]]
+            new_idx = np.flatnonzero(~constrained)
+            gids[new_idx] = self._max_region_id + np.arange(len(new_idx))
+            self._max_region_id = max(self._max_region_id,
+                                      int(gids.max()) + 1)
+            gid_map = gids  # compact region -> global id
+
+            # Overlap constraint planes: release the next solve.
+            if flush:
+                self._overlap_gids = []
+            else:
+                self._overlap_gids = [gid_map[compact[f]]
+                                      for f in range(last_output, t)]
+        finally:
+            if planes_ready is not None:
+                planes_ready.set()
 
         # Output geometry.
-        last_output = (t - 1) if flush else (t - self.overlap_frames)
-        window_lo = 1 if self._overlap_gids else 0  # exclude frozen plane
-        out_chunk_size = last_output - self._chunk_start + 1
+        window_lo = 1 if ctx["had_constraints"] else 0  # excl. frozen plane
+        out_chunk_size = last_output - chunk_start + 1
         hierarchy_frame_idx = self._num_output_frames
-        global_frame0 = self._num_output_frames - self._chunk_start
+        global_frame0 = self._num_output_frames - chunk_start
 
+        marks.append(("gids", time.monotonic()))
         # Level-0 hierarchy over the window [window_lo, last_output].
         win = compact[window_lo:last_output + 1]
         start_f, end_f, _ = rle.region_presence(win, num_regions)
@@ -448,11 +548,11 @@ class DenseSegmentation:
             start_frames=global_frame0 + window_lo + start_f[in_window][order],
             end_frames=global_frame0 + window_lo + end_f[in_window][order],
             neighbor_pairs=gp)
+        marks.append(("hier", time.monotonic()))
 
         # Emit frames [chunk_start, last_output].
-        gid_map = gids  # compact region -> global id
         results = []
-        for local in range(self._chunk_start, last_output + 1):
+        for local in range(chunk_start, last_output + 1):
             gimg = gid_map[compact[local]]
             ids, counts, ys, lxs, rxs = rle.frame_rle(gimg)
             results.append(SegFrame(
@@ -461,29 +561,17 @@ class DenseSegmentation:
                 ys=ys, lxs=lxs, rxs=rxs,
                 moments=rle.shape_moments(counts, ys, lxs, rxs),
                 chunk_size=out_chunk_size, overlap_start=out_chunk_size,
-                chunk_id=self._chunk_id,
+                chunk_id=ctx["chunk_id"],
                 hierarchy_frame_idx=hierarchy_frame_idx,
-                hierarchy=[hier] if local == self._chunk_start else None,
+                hierarchy=[hier] if local == chunk_start else None,
                 frame_index=global_frame0 + local))
         self._num_output_frames += len(results)
         if timing:
             import sys
-            print(f"[timing] chunk {self._chunk_id} dense-host-tail "
-                  f"{time.monotonic() - t_solve1:.2f}s", file=sys.stderr, flush=True)
-
-        # Prepare next chunk state.
-        if flush:
-            self._buffer.clear()
-            self._preseg_buffer.clear()
-            self._flow_buffer.clear()
-            self._overlap_gids = []
-            self._chunk_start = 0
-        else:
-            self._overlap_gids = [gid_map[compact[f]]
-                                  for f in range(last_output, t)]
-            self._buffer = self._buffer[last_output:]
-            self._preseg_buffer = self._preseg_buffer[last_output:]
-            self._flow_buffer = self._flow_buffer[last_output:]
-            self._chunk_start = 1
-        self._chunk_id += 1
+            marks.append(("rle", time.monotonic()))
+            steps = " ".join(f"{name} {tb - ta:.2f}" for (_, ta), (name, tb)
+                             in zip(marks, marks[1:]))
+            print(f"[timing] chunk {ctx['chunk_id']} dense-host-tail "
+                  f"{time.monotonic() - ctx['t_fetch_done']:.2f}s ({steps})",
+                  file=sys.stderr, flush=True)
         return results

@@ -40,6 +40,13 @@ class DenseSegmentationOptions:
     # shrinks to stay under it (the attached TPU worker crashes near 19M
     # voxels; smaller chunks trade seam frequency for functioning 720p+).
     max_solve_voxels: int = 8_000_000
+    # Run the host post-solve tail (n4/connectedness/RLE/id assignment) on
+    # a worker thread so the device starts the next chunk's preseg/solve
+    # as soon as the tail has produced the overlap constraint planes.
+    # Results then arrive one chunk later (all frames still emitted, in
+    # order, by the flush call) — callers that rely on per-call emission
+    # timing keep the default synchronous tail.
+    async_tail: bool = False
 
     def overlap_frames(self) -> int:
         # The reference clamps to at most 2 and requires at least 2 to seed

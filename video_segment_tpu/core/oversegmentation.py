@@ -1115,29 +1115,115 @@ def _solve_edge_table(vol, fl, init_label, constr_init, frozen_init,
                                has_constraints)
 
 
+_PHASE_Q = 1 << 14      # phase-cap quantization (compile-cache invariant)
+_PHASE_FLOOR = 1 << 15  # smallest recompacted table
+
+
+def _table_phase_caps(nseg0: int) -> tuple:
+    """Static shrinking table caps for the schedule phases.
+
+    Every schedule round costs O(cap * K) gathers, but the live region
+    count collapses within the first levels; recompacting the table
+    mid-schedule (see _recompact_table) cuts the dominant solve cost.
+    Caps quarter down to a floor, quantized so the compiled-program count
+    per resolution stays small.  A (pathological) solve still carrying
+    more live regions than a cap when the schedule ends degrades the
+    overflow regions to their merged-so-far labels via the sink — the
+    same overflow contract the initial table already has."""
+    caps = [nseg0]
+    while True:
+        tgt = max(caps[-1] // 4, _PHASE_FLOOR)
+        nxt = -(-tgt // _PHASE_Q) * _PHASE_Q + 1
+        if nxt >= caps[-1]:
+            return tuple(caps)
+        caps.append(nxt)
+
+
+def _recompact_table(ts, tab, o2n, fb_slot, orig_slot, new_cap: int):
+    """Mid-schedule table shrink (the solver analogue of
+    core/agglomeration.py's shrinking phases).
+
+    Renumbers live roots of the current table into a fresh `new_cap`-slot
+    table (last slot = sink): region rows gather into the new table, the
+    packed edge table remaps endpoints through current roots and re-mins
+    per (new slot, direction), the original-slot chain `o2n` composes the
+    renumbering, and dying (overflow) regions record their merged-so-far
+    label in the per-original-slot fallback `fb_slot`."""
+    old_cap = ts.label.shape[0]
+    old_sink = old_cap - 1
+    new_sink = new_cap - 1
+    root = ts.label
+    slots = jnp.arange(old_cap, dtype=jnp.int32)
+    is_root = (root == slots) & (ts.size > 0) & (slots != old_sink)
+    cidx_all = jnp.cumsum(is_root.astype(jnp.int32)) - 1
+    ok = is_root & (cidx_all < new_sink)
+    cidx = jnp.where(ok, cidx_all, new_sink)     # old root slot -> new slot
+    new_of = cidx[root]                          # any old slot -> new slot
+    n_active = jnp.sum(ok.astype(jnp.int32))
+
+    # Original-voxel id per old root (min over members): the new rows'
+    # orig ids, and dying regions' fallback labels.
+    orig_min = jax.ops.segment_min(orig_slot, root, num_segments=old_cap)
+
+    new_slots = jnp.arange(new_cap, dtype=jnp.int32)
+    inv = jnp.zeros(new_cap, jnp.int32).at[cidx].max(
+        jnp.where(ok, slots, 0))                 # new slot -> old root slot
+    valid_new = new_slots < n_active
+    vf = valid_new.astype(jnp.float32)[:, None]
+    ts2 = SolverState(
+        label=new_slots,
+        csum=ts.csum[inv] * vf,
+        size=ts.size[inv] * vf[:, 0],
+        constr=jnp.where(valid_new, ts.constr[inv], -1),
+        fin=jnp.where(valid_new, ts.fin[inv], True),
+        frozen=jnp.where(valid_new, ts.frozen[inv], False),
+        sqsum=ts.sqsum[inv] * vf,
+        gsum=ts.gsum[inv] * vf if ts.gsum is not None else None)
+
+    # Edge table: endpoints through current roots into new slots, repack
+    # with the new bit split, per-(new slot, direction) min over old rows.
+    bits_o, bshift_o = _pack_spec(old_cap)
+    bits_n, bshift_n = _pack_spec(new_cap)
+    valid_e = tab < _I32MAX
+    ptn_o = jnp.minimum(tab & ((1 << bits_o) - 1), old_cap - 1)
+    bkt = (tab >> bits_o) << bshift_o
+    p_new = new_of[ptn_o]                        # (D, old_cap)
+    ok_e = (valid_e & (p_new != new_sink) & (new_of[None, :] != new_sink)
+            & (p_new != new_of[None, :]))
+    pk_new = jnp.where(
+        ok_e,
+        ((jnp.minimum(bkt, NUM_BUCKETS - 2) >> bshift_n) << bits_n) | p_new,
+        _I32MAX)
+    d_cols = tab.shape[0]
+    seg2 = (new_of[None, :]
+            + (jnp.arange(d_cols, dtype=jnp.int32) * new_cap)[:, None])
+    tab2 = jax.ops.segment_min(pk_new.reshape(-1), seg2.reshape(-1),
+                               num_segments=d_cols * new_cap) \
+        .reshape(d_cols, new_cap)
+
+    # Original-slot chain + fallback labels for dying regions.
+    r_o = root[o2n]                              # original slot -> old root
+    died = (r_o != old_sink) & jnp.logical_not(ok[r_o])
+    fb_slot2 = jnp.where(died, orig_min[r_o], fb_slot)
+    o2n2 = new_of[o2n]
+    orig2 = jnp.where(valid_new, orig_min[inv], 0)
+    return ts2, tab2, o2n2, fb_slot2, orig2
+
+
 def _finish_table_solve(ts, tab, memb, orig_slot, init_label, shape3,
                         params, thetas, level_rounds, has_constraints):
-    """Shared tail of the edge-table solver: top-K edges, schedule levels,
-    min-size forcing, constraint association, label reconstruction."""
+    """Shared tail of the edge-table solver: top-K edges, schedule levels
+    over shrinking table phases, min-size forcing, constraint association,
+    label reconstruction."""
     t, h, w = shape3
     n_pix = t * h * w
-    nseg = ts.label.shape[0]
-    sink = nseg - 1
-    with jax.named_scope("overseg_topk_edges"):
-        ptn, pbk = _topk_edges(tab, params.edge_topk)
-    # Level-end failure tests sweep the full extraction table when it is
-    # affordable; very large (banded) tables fall back to the per-slot
-    # top-K edges (the K smallest — higher-bucket incident edges then miss
-    # failure flags, an approximation accepted at banded scale).
-    if nseg <= (1 << _PARTNER_BITS):
-        end_tab = tab
-    else:
-        bits, bshift = _pack_spec(nseg)
-        end_tab = jnp.where(ptn < _I32MAX,
-                            ((jnp.minimum(pbk, NUM_BUCKETS - 2) >> bshift)
-                             << bits) | ptn, _I32MAX).T
+    nseg0 = ts.label.shape[0]
+    n_levels = thetas.shape[0]
 
     def run_rounds(ts, theta, max_rounds, mode, p_tab, b_tab):
+        cap = p_tab.shape[0]
+        sink = cap - 1
+
         def cond(carry):
             st, i, idle = carry
             return (idle < 2) & (i < max_rounds)
@@ -1145,7 +1231,7 @@ def _finish_table_solve(ts, tab, memb, orig_slot, init_label, shape3,
         def body(carry):
             st, i, idle = carry
             st, moved, cands = _table_round(st, p_tab, b_tab, theta,
-                                            (i % 2) == 0, mode, nseg, sink,
+                                            (i % 2) == 0, mode, cap, sink,
                                             params)
             idle = jnp.where(cands == 0, 2,
                              jnp.where(moved > 0, 0, idle + 1))
@@ -1166,36 +1252,86 @@ def _finish_table_solve(ts, tab, memb, orig_slot, init_label, shape3,
             ts = run_rounds(ts, thetas[l], level_rounds[l],
                             jnp.int32(MODE_MERGE), ptn_s, pbk_s)
             return _table_level_end(ts, tab[:2 * len(SPATIAL_FWD)],
-                                    thetas[l], nseg, sink, params)
+                                    thetas[l], nseg0, nseg0 - 1, params)
 
         ts = jax.lax.fori_loop(0, thetas.shape[0], level_body_s, ts)
         # The spatial pass's finalizations do not carry into the full pass
         # (the reference rebuilds the graph state for the full run).
         ts = ts._replace(fin=jnp.zeros_like(ts.fin))
 
-    def level_body(l, ts):
-        ts = run_rounds(ts, thetas[l], level_rounds[l], jnp.int32(MODE_MERGE),
-                        ptn, pbk)
-        return _table_level_end(ts, end_tab, thetas[l], nseg, sink, params)
+    # Schedule levels over shrinking table phases: each phase runs levels
+    # while the live count does not yet fit the next phase's table, then
+    # recompacts.  Levels advance globally (`l`), so every level runs
+    # exactly once regardless of which phase hosts it.
+    caps = _table_phase_caps(nseg0)
+    o2n = jnp.arange(nseg0, dtype=jnp.int32)
+    fb_slot = jnp.zeros(nseg0, jnp.int32)
+    l = jnp.int32(0)
+    ptn = pbk = None
+    for pi, cap in enumerate(caps):
+        sink = cap - 1
+        if pi > 0:
+            with jax.named_scope(f"overseg_recompact_{cap}"):
+                ts, tab, o2n, fb_slot, orig_slot = _recompact_table(
+                    ts, tab, o2n, fb_slot, orig_slot, cap)
+        with jax.named_scope("overseg_topk_edges"):
+            ptn, pbk = _topk_edges(tab, params.edge_topk)
+        # Level-end failure tests sweep the full extraction table when it
+        # is affordable; very large (banded) tables fall back to the
+        # per-slot top-K edges (higher-bucket incident edges then miss
+        # failure flags, an approximation accepted at that scale).
+        if cap <= (1 << _PARTNER_BITS):
+            end_tab = tab
+        else:
+            bits, bshift = _pack_spec(cap)
+            end_tab = jnp.where(ptn < _I32MAX,
+                                ((jnp.minimum(pbk, NUM_BUCKETS - 2)
+                                  >> bshift) << bits) | ptn, _I32MAX).T
+        next_cap = caps[pi + 1] if pi + 1 < len(caps) else 0
+        slots_c = jnp.arange(cap, dtype=jnp.int32)
 
-    with jax.named_scope("overseg_schedule_levels"):
-        ts = jax.lax.fori_loop(0, thetas.shape[0], level_body, ts)
+        def cond(carry, next_cap=next_cap):
+            ts_, l_, act_ = carry
+            go = l_ < n_levels
+            if next_cap:
+                go = go & (act_ > next_cap - 2)
+            return go
 
+        def body(carry, ptn=ptn, pbk=pbk, end_tab=end_tab, cap=cap,
+                 sink=sink, slots_c=slots_c):
+            ts_, l_, act_ = carry
+            ts_ = run_rounds(ts_, thetas[l_], level_rounds[l_],
+                             jnp.int32(MODE_MERGE), ptn, pbk)
+            ts_ = _table_level_end(ts_, end_tab, thetas[l_], cap, sink,
+                                   params)
+            act_ = jnp.sum(((ts_.label == slots_c)
+                            & (ts_.size > 0)).astype(jnp.int32))
+            return ts_, l_ + 1, act_
+
+        active0 = jnp.sum(((ts.label == slots_c)
+                           & (ts.size > 0)).astype(jnp.int32))
+        with jax.named_scope(f"overseg_schedule_phase_{cap}"):
+            ts, l, _ = jax.lax.while_loop(cond, body, (ts, l, active0))
+
+    cap_f = caps[-1]
+    sink_f = cap_f - 1
     if params.min_region_size > 1:
         ts = run_rounds(ts, jnp.int32(NUM_BUCKETS),
                         jnp.int32(params.min_size_rounds),
                         jnp.int32(MODE_MIN_SIZE), ptn, pbk)
 
     if has_constraints:
-        ts = _merge_constrained(ts, params.max_constraints, nseg, params)
+        ts = _merge_constrained(ts, params.max_constraints, cap_f, params)
 
     # Reconstruct labels in original root-voxel space (same scheme as the
     # v1 tail): each live region takes its minimum original root; sink
-    # pixels keep their pre-table root.
-    orig_min = jax.ops.segment_min(orig_slot, ts.label, num_segments=nseg)
-    root_px = ts.label[memb]
-    final = jnp.where(root_px == sink, init_label, orig_min[root_px])
-    live = (ts.size > 0) & (jnp.arange(nseg) != sink)
+    # pixels keep their merged-so-far label (fallback), or their pre-table
+    # root if they overflowed at seed time.
+    orig_min = jax.ops.segment_min(orig_slot, ts.label, num_segments=cap_f)
+    root_px = ts.label[o2n[memb]]
+    fb_px = jnp.where(memb == nseg0 - 1, init_label, fb_slot[memb])
+    final = jnp.where(root_px == sink_f, fb_px, orig_min[root_px])
+    live = (ts.size > 0) & (jnp.arange(cap_f) != sink_f)
     return OversegResult(label=final.reshape(t, h, w),
                          constr=jnp.where(live, ts.constr, -1),
                          size=jnp.where(live, ts.size, 0.0),

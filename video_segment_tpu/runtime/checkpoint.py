@@ -29,6 +29,7 @@ _MAGIC = "vst-checkpoint-v1"
 def _dense_state(ds) -> dict:
     import jax.numpy as jnp  # noqa: F401  (ensures arrays materialize)
 
+    ds.join()  # settle any deferred tail (async_tail) before snapshotting
     return {
         "buffer": [np.asarray(b) for b in ds._buffer],
         "flow_buffer": [None if f is None else np.asarray(f)

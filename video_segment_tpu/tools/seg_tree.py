@@ -87,7 +87,11 @@ def main(argv=None):
         flow_fn = flow_mod.FlowEngine(info.width, info.height,
                                       cache_path=cache)
 
-    opts = DenseSegmentationOptions(chunk_size=args.chunk_size)
+    # Deferred host tail overlaps post-solve host work with the next
+    # chunk's device work; checkpointing needs the synchronous tail (saved
+    # state must match the frames already written to the output).
+    opts = DenseSegmentationOptions(chunk_size=args.chunk_size,
+                                    async_tail=not args.checkpoint_every)
     ds = dense.DenseSegmentation(opts, info.width, info.height)
 
     region_stage = None
