@@ -51,37 +51,43 @@ def _roll2(x, dy, dx):
                       (-dx) % TILE_W, axis=1)
 
 
-def _onehot_rows(labr):
-    """(8,128) int32 row labels -> (8,128,8) f32 one-hot over label rows."""
-    a = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W, TILE_H), 2)
-    return (labr[:, :, None] == a).astype(jnp.float32)
-
-
 def _onehot_cols(labc):
     """(8,128) int32 col labels -> (8,128,128) bool one-hot over columns.
 
     Built ONCE per round and threaded through every aggregate / distribute
-    / per-label reduction — the (i,j,b) one-hot materializations dominate
-    the kernel's VPU time."""
+    / per-label reduction.  Everything label-indexed runs as per-label-ROW
+    slices against this column one-hot: all large intermediates keep a
+    128-wide minor dimension (lane-aligned) — an (i,j,a) row one-hot has
+    minor dim 8 and wastes 15/16 of each vector register."""
     b = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W, TILE_W), 2)
     return labc[:, :, None] == b
 
 
-def _aggregate(ohr, ohc_f, v):
-    """Sum v (8,128) into label table (8,128): T[a,b] = sum over pixels."""
-    lhs = ohr * v[:, :, None]                               # (i,j,a)
-    # contract j, batch i -> (i,a,b), then sum rows.
-    out = jax.lax.dot_general(lhs, ohc_f, (((1,), (1,)), ((0,), (0,))),
+def _row_iota3():
+    """(a, i, j) iota over the label-row axis a."""
+    return jax.lax.broadcasted_iota(
+        jnp.int32, (TILE_H, TILE_H, TILE_W), 0)
+
+
+def _aggregate(labr, ohc_f, v):
+    """Sum v (8,128) into label table (8,128): T[a,b] = sum over pixels
+    with label (a,b).  lhs[i,a,j] = v[i,j] masked to label row a; one dot
+    batched over pixel rows i contracting j (Mosaic needs a single
+    contracting dim), then a sum over i.  128-minor operands throughout."""
+    a3 = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_H, TILE_W), 1)
+    lhs = jnp.where(labr[:, None, :] == a3, v[:, None, :], 0.0)
+    out = jax.lax.dot_general(lhs, ohc_f, (((2,), (1,)), ((0,), (0,))),
                               preferred_element_type=jnp.float32)
     return jnp.sum(out, axis=0)
 
 
-def _distribute(ohr, ohc_f, table):
-    """Per-pixel value of its label: g[i,j] = table[labr[i,j], labc[i,j]]."""
-    # P[i,j,b] = sum_a ohr[i,j,a] * table[a,b]
-    p = jax.lax.dot_general(ohr, table, (((2,), (0,)), ((), ())),
+def _distribute(labr, ohc_f, table):
+    """Per-pixel value of its label: g[i,j] = table[labr[i,j], labc[i,j]].
+    p[a,i,j] = table[a, labc[i,j]] via one dot against the column one-hot,
+    then a masked sum over the 8 label rows."""
+    p = jax.lax.dot_general(table, ohc_f, (((1,), (2,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    return jnp.sum(p * ohc_f, axis=2)
+    return jnp.sum(jnp.where(labr[None] == _row_iota3(), p, 0.0), axis=0)
 
 
 def _label_min(labr, ohc, v):
@@ -108,10 +114,9 @@ def _label_max(labr, ohc, v):
 
 def _compose(pa, pb):
     """One pointer-jump of the (row,col) parent tables: P <- P[P]."""
-    ohr = _onehot_rows(pa)
     ohc_f = _onehot_cols(pb).astype(jnp.float32)
-    pa2 = _distribute(ohr, ohc_f, pa.astype(jnp.float32)).astype(jnp.int32)
-    pb2 = _distribute(ohr, ohc_f, pb.astype(jnp.float32)).astype(jnp.int32)
+    pa2 = _distribute(pa, ohc_f, pa.astype(jnp.float32)).astype(jnp.int32)
+    pb2 = _distribute(pa, ohc_f, pb.astype(jnp.float32)).astype(jnp.int32)
     return pa2, pb2
 
 
@@ -158,20 +163,19 @@ def _solve_subtile(color3, gy, gx, h, w, *, schedule, rounds_per_level,
     n_levels = len(schedule)
     r_per = rounds_per_level
 
-    def region_views(labr, ohr, ohc_f):
+    def region_views(labr, ohc_f):
         ones = jnp.ones((TILE_H, TILE_W), jnp.float32)
-        size_t = _aggregate(ohr, ohc_f, ones)
-        mean_t = [_aggregate(ohr, ohc_f, ch) / jnp.maximum(size_t, 1.0)
+        size_t = _aggregate(labr, ohc_f, ones)
+        mean_t = [_aggregate(labr, ohc_f, ch) / jnp.maximum(size_t, 1.0)
                   for ch in c]
-        mean_px = [_distribute(ohr, ohc_f, m) for m in mean_t]
+        mean_px = [_distribute(labr, ohc_f, m) for m in mean_t]
         return mean_px
 
     def merge_round(labr, labc, fin_t, fin_x, theta, rnd):
-        ohr = _onehot_rows(labr)
         ohc = _onehot_cols(labc)
         ohc_f = ohc.astype(jnp.float32)
-        mean_px = region_views(labr, ohr, ohc_f)
-        fin_px = _distribute(ohr, ohc_f, fin_t)
+        mean_px = region_views(labr, ohc_f)
+        fin_px = _distribute(labr, ohc_f, fin_t)
         lab_flat = labr * TILE_W + labc
         best = jnp.full((TILE_H, TILE_W), _BIG, jnp.int32)
         for k, (dy, dx) in enumerate(DIRS):
@@ -198,11 +202,11 @@ def _solve_subtile(color3, gy, gx, h, w, *, schedule, rounds_per_level,
         # Deeper chains leave stale labels that simply re-merge next round
         # (and the caller's final pointer_jump resolves any residue).
         pa, pb = _compose(pa, pb)
-        labr = _distribute(ohr, ohc_f, pa.astype(jnp.float32)) \
+        labr2 = _distribute(labr, ohc_f, pa.astype(jnp.float32)) \
             .astype(jnp.int32)
-        labc = _distribute(ohr, ohc_f, pb.astype(jnp.float32)) \
+        labc = _distribute(labr, ohc_f, pb.astype(jnp.float32)) \
             .astype(jnp.int32)
-        return labr, labc, fin_t, fin_x
+        return labr2, labc, fin_t, fin_x
 
     def level_end(labr, labc, fin_t, fin_x, theta, _rnd):
         # Any failed merge test at weight <= theta finalizes both endpoint
@@ -212,10 +216,9 @@ def _solve_subtile(color3, gy, gx, h, w, *, schedule, rounds_per_level,
         # phase sees whole-region means, and carrying them fragments the
         # global result (round-3 sweep: margin gates the overseg region
         # count between the carry-all and carry-none extremes).
-        ohr = _onehot_rows(labr)
         ohc = _onehot_cols(labc)
         ohc_f = ohc.astype(jnp.float32)
-        mean_px = region_views(labr, ohr, ohc_f)
+        mean_px = region_views(labr, ohc_f)
         lab_flat = labr * TILE_W + labc
         fail = jnp.zeros((TILE_H, TILE_W), jnp.float32)
         strong = jnp.zeros((TILE_H, TILE_W), jnp.float32)
@@ -249,8 +252,8 @@ def _solve_subtile(color3, gy, gx, h, w, *, schedule, rounds_per_level,
     labr, labc, fin_t, fin_x = jax.lax.fori_loop(
         0, n_levels * (r_per + 1), body, (rows, cols, zeros, zeros))
 
-    fin_px = _distribute(_onehot_rows(labr),
-                         _onehot_cols(labc).astype(jnp.float32), fin_x)
+    fin_px = _distribute(labr, _onehot_cols(labc).astype(jnp.float32),
+                         fin_x)
     return labr * TILE_W + labc, fin_px
 
 
