@@ -23,7 +23,9 @@ Chunk streaming protocol (dense_segmentation.cpp:100-431):
 from __future__ import annotations
 
 import dataclasses
+import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -62,6 +64,16 @@ class SegFrame:
     hierarchy: list[HierarchyLevelData] | None = None  # chunk-start frame only
     frame_index: int = -1         # global video frame index
     moments: np.ndarray | None = None  # (R,6) ShapeMoments rows
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "pad_rows"))
+def _preprocess_u8(frame_u8: jnp.ndarray, mode: str, pad_rows: int):
+    """One device program per ingest frame: u8 -> f32 -> presmooth -> pad."""
+    img = frame_u8.astype(jnp.float32) * (1.0 / 255.0)
+    img = filters.presmooth(img, mode)
+    if pad_rows:
+        img = jnp.pad(img, ((0, pad_rows), (0, 0), (0, 0)), mode="edge")
+    return img
 
 
 class DenseSegmentation:
@@ -168,13 +180,13 @@ class DenseSegmentation:
 
     def preprocess(self, frame_bgr_u8: np.ndarray) -> jnp.ndarray:
         """uint8 BGR -> smoothed float [0,1] (dense_segmentation.cpp:164-198),
-        padded to the band grid when the solve is banded."""
-        img = jnp.asarray(frame_bgr_u8, jnp.float32) * (1.0 / 255.0)
-        img = filters.presmooth(img, self.options.presmoothing)
-        if self._pad_rows:
-            img = jnp.pad(img, ((0, self._pad_rows), (0, 0), (0, 0)),
-                          mode="edge")
-        return img
+        padded to the band grid when the solve is banded.
+
+        The frame crosses the host->device link as uint8 (the f32 convert
+        runs on device): the tunnel moves ~25-55 MB/s, so shipping f32
+        would cost 4x the bytes of the whole ingest path."""
+        return _preprocess_u8(jnp.asarray(frame_bgr_u8),
+                              self.options.presmoothing, self._pad_rows)
 
     def _preseg_frame(self, img: jnp.ndarray):
         """Tile-local felz preseg of one (padded) frame; frame-local voxel
@@ -301,8 +313,10 @@ class DenseSegmentation:
         constraints = init_label = frozen = None
         cid_to_gid = np.zeros(0, np.int64)
         if self._overlap_gids:
-            constraints_np = np.full((t_solve, hp, w), -1, np.int32)
-            frozen_np = np.zeros((t_solve, hp, w), bool)
+            # Only the first n_constrained planes carry real data; the
+            # (t,hp,w)-sized constraint / frozen / init volumes are
+            # assembled ON DEVICE from those small planes (full f32/i32
+            # volumes over the ~25-55 MB/s link cost seconds per chunk).
             planes = np.stack(self._overlap_gids)  # (overlap, H, W) gids
             if self._pad_rows:
                 planes = np.pad(planes, ((0, 0), (0, self._pad_rows),
@@ -314,14 +328,21 @@ class DenseSegmentation:
                     f"cap {self._params.max_constraints}")
             compact = compact.reshape(planes.shape).astype(np.int32)
             n_constrained = 1 + self.constraint_frames
-            constraints_np[:n_constrained] = compact[:n_constrained]
-            frozen_np[0] = True
+            constraints = jnp.concatenate([
+                jnp.asarray(compact[:n_constrained]),
+                jnp.full((t_solve - n_constrained, hp, w), -1, jnp.int32)])
+            frozen = jnp.concatenate([
+                jnp.ones((1, hp, w), bool),
+                jnp.zeros((t_solve - 1, hp, w), bool)])
             # Pre-merge plane 0: canonical voxel per compact id — per
             # (id, band) in banded solves, since band-local seed
             # compaction requires init roots inside their own band (the
             # band groups rejoin via the frozen-group constraint merge).
-            init_np = np.arange(t_solve * hp * w,
-                                dtype=np.int32).reshape(t_solve, hp, w)
+            init_sm = np.empty((n_constrained, hp, w), np.int32)
+            for pl_i in range(1, n_constrained):
+                init_sm[pl_i] = (pl_i * hp * w
+                                 + np.arange(hp * w, dtype=np.int32)
+                                 .reshape(hp, w))
             key0 = compact[0].astype(np.int64)
             if self._bands > 1:
                 bh = hp // self._bands
@@ -329,11 +350,8 @@ class DenseSegmentation:
                         + (np.arange(hp) // bh)[:, None])
             key0 = key0.ravel()
             uniq, first = np.unique(key0, return_index=True)
-            init_np[0] = first[np.searchsorted(uniq, key0)] \
+            init_sm[0] = first[np.searchsorted(uniq, key0)] \
                 .reshape(hp, w).astype(np.int32)
-            constraints = jnp.asarray(constraints_np)
-            init_label = jnp.asarray(init_np)
-            frozen = jnp.asarray(frozen_np)
             if tile_init is not None:
                 # Free planes take tile-local pre-merges.  Constrained
                 # planes (1..n_constrained-1) pre-merge within
@@ -343,21 +361,26 @@ class DenseSegmentation:
                 # split threshold), and per-pixel seeding would overflow
                 # the solver's region table at larger frames.  Preseg
                 # regions never span bands, so these stay band-local.
-                tile_np = np.asarray(tile_init)
+                # Fetch ONLY the constrained preseg planes (not the chunk).
+                tile_sm = np.asarray(tile_init[1:n_constrained])
                 for pl_i in range(1, n_constrained):
-                    key = (tile_np[pl_i].astype(np.int64).ravel()
+                    key = (tile_sm[pl_i - 1].astype(np.int64).ravel()
                            * (len(cid_to_gid) + 1)
                            + compact[pl_i].ravel() + 1)
                     uniq, first = np.unique(key, return_index=True)
                     canon = first[np.searchsorted(uniq, key)]
-                    init_np[pl_i] = (pl_i * hp * w
+                    init_sm[pl_i] = (pl_i * hp * w
                                      + canon).reshape(hp, w).astype(np.int32)
-                init_label = jnp.asarray(init_np)
-                plane = jnp.arange(t_solve)[:, None, None]
-                init_label = jnp.where(plane < n_constrained, init_label,
-                                       tile_init)
+                init_label = jnp.concatenate([
+                    jnp.asarray(init_sm), tile_init[n_constrained:]])
                 if tile_fin is not None:
+                    plane = jnp.arange(t_solve)[:, None, None]
                     tile_fin = (plane >= n_constrained) & tile_fin
+            else:
+                free = jnp.arange(n_constrained * hp * w,
+                                  t_solve * hp * w, dtype=jnp.int32) \
+                    .reshape(t_solve - n_constrained, hp, w)
+                init_label = jnp.concatenate([jnp.asarray(init_sm), free])
         elif tile_init is not None:
             init_label = tile_init
 
@@ -390,7 +413,7 @@ class DenseSegmentation:
         res = ov.oversegment(vol, flow=flow, constraints=constraints,
                              init_label=init_label, frozen=frozen,
                              fin=tile_fin, params=params)
-        labels = np.asarray(res.label)[:t, :h]
+        labels = np.asarray(res.label[:t, :h])
         # Fetch the (small) slot attribute arrays NOW: they are outputs of
         # the same program as `label`, so this costs nothing extra — but a
         # later np.asarray would block behind whatever device work the
