@@ -83,6 +83,24 @@ def _eval_distances(state: AggloState, edges, evalid, inv_median, use_flow,
     return jnp.where(evalid & (ra != rb), d, jnp.inf)
 
 
+def _kth_smallest(key, budget):
+    """Value of the `budget`-th smallest element of int32 `key` (1-based;
+    entries in [0,_DQ] or _I32MAX), via a two-pass radix histogram select —
+    identical to sort()[budget-1] at a fraction of the cost (the per-
+    subround full sort dominated agglomeration time)."""
+    n = key.shape[0]
+    budget = jnp.clip(budget, 1, n)
+    coarse = jnp.minimum(key >> 10, (_DQ >> 10) + 1)    # invalid -> last bin
+    nb = (_DQ >> 10) + 2
+    c1 = jnp.cumsum(jnp.zeros(nb, jnp.int32).at[coarse].add(1))
+    b = jnp.searchsorted(c1, budget, side="left").astype(jnp.int32)
+    rank = budget - jnp.where(b > 0, c1[jnp.maximum(b - 1, 0)], 0)
+    fine = jnp.where(coarse == b, key & 1023, 1024)
+    c2 = jnp.cumsum(jnp.zeros(1025, jnp.int32).at[fine].add(1))
+    f = jnp.searchsorted(c2, rank, side="left").astype(jnp.int32)
+    return jnp.where(b > (_DQ >> 10), _I32MAX, (b << 10) | f)
+
+
 def _label_subround(label, edges, d, budget, up):
     """One label-only merge subround over frozen distances d."""
     r = label.shape[0]
@@ -102,8 +120,7 @@ def _label_subround(label, edges, d, budget, up):
     partner = jax.ops.segment_min(p2, seg, num_segments=r)
 
     # Keep only the globally smallest `budget` proposals.
-    order = jnp.sort(jnp.where(partner < _I32MAX, best, _I32MAX))
-    kth = order[jnp.clip(budget - 1, 0, r - 1)]
+    kth = _kth_smallest(jnp.where(partner < _I32MAX, best, _I32MAX), budget)
     admit = ((partner < _I32MAX) & (best <= kth) & (best < _I32MAX)
              & (budget > 0))
 

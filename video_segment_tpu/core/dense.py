@@ -374,8 +374,10 @@ class DenseSegmentation:
                 init_label = jnp.concatenate([
                     jnp.asarray(init_sm), tile_init[n_constrained:]])
                 if tile_fin is not None:
+                    # Constrained planes run fully open (level NUM_BUCKETS).
                     plane = jnp.arange(t_solve)[:, None, None]
-                    tile_fin = (plane >= n_constrained) & tile_fin
+                    tile_fin = jnp.where(plane >= n_constrained, tile_fin,
+                                         ov.NUM_BUCKETS)
             else:
                 free = jnp.arange(n_constrained * hp * w,
                                   t_solve * hp * w, dtype=jnp.int32) \
@@ -413,7 +415,13 @@ class DenseSegmentation:
         res = ov.oversegment(vol, flow=flow, constraints=constraints,
                              init_label=init_label, frozen=frozen,
                              fin=tile_fin, params=params)
-        labels = np.asarray(res.label[:t, :h])
+        if res.label16 is not None and int(np.asarray(res.nsink)) == 0:
+            # Compressed label transport: uint16 slot volume + int32 LUT is
+            # half the bytes of the int32 label volume on the remote link.
+            lut = np.asarray(res.lut)
+            labels = lut[np.asarray(res.label16[:t, :h])]
+        else:
+            labels = np.asarray(res.label[:t, :h])
         # Fetch the (small) slot attribute arrays NOW: they are outputs of
         # the same program as `label`, so this costs nothing extra — but a
         # later np.asarray would block behind whatever device work the

@@ -184,7 +184,9 @@ class SolverState(NamedTuple):
     csum: jnp.ndarray    # (N,3) f32: color sums at root slots
     size: jnp.ndarray    # (N,)  f32: voxel counts at root slots
     constr: jnp.ndarray  # (N,)  int32: compact constraint id at roots, -1 free
-    fin: jnp.ndarray     # (N,)  bool: merge test failed (finalized)
+    fin: jnp.ndarray     # (N,)  int32: finalize level — minimum bucket of a
+                         # failed merge test; merges admit only at bucket <
+                         # fin (NUM_BUCKETS = open, 0 = fully blocked)
     frozen: jnp.ndarray  # (N,)  bool: virtual-node role (emitted geometry;
                          # constraint never reset, merged with group at end)
     sqsum: jnp.ndarray   # (N,3) f32: color square sums (variance trait)
@@ -202,6 +204,13 @@ class OversegResult(NamedTuple):
     constr: jnp.ndarray  # (S,) int32 constraint id per live slot (-1 free)
     size: jnp.ndarray    # (S,) f32 region size per live slot (0 dead)
     orig: jnp.ndarray    # (S,) int32 original root voxel id (-1 dead)
+    # Compressed label transport (edge-table solver only): label ==
+    # lut[label16] wherever nsink == 0.  The uint16 volume is half the
+    # bytes of `label` on the ~25-55 MB/s host link; hosts fetch it and
+    # reconstruct, falling back to `label` when sink pixels exist.
+    label16: jnp.ndarray | None = None  # (T,H,W) uint16 final slot per voxel
+    lut: jnp.ndarray | None = None      # (cap,) int32 slot -> root voxel id
+    nsink: jnp.ndarray | None = None    # () int32 count of sink pixels
 
 
 def region_attrs(res: OversegResult, roots):
@@ -258,7 +267,7 @@ def _unpack(fn, labn):
     return dict(nb_label=labn, nb_mean=fn[..., _C_MEAN],
                 nb_size=fn[..., _C_SIZE],
                 nb_constr=fn[..., _C_CONSTR].astype(jnp.int32),
-                nb_fin=fn[..., _C_FIN] > 0, nb_frozen=fn[..., _C_FROZEN] > 0)
+                nb_fin=fn[..., _C_FIN], nb_frozen=fn[..., _C_FROZEN] > 0)
 
 
 def _bucketize(d):
@@ -483,20 +492,21 @@ def _apply_merge(state: SolverState, partner, n, up=None):
     parent = jnp.where(hook, partner, slots)
     root = cc.pointer_jump(parent)
     # One fused segment-sum carries color sums, size, and the sticky OR'd
-    # fin/frozen flags (sum > 0 == OR); constraint ids keep max semantics.
+    # frozen flag (sum > 0 == OR); constraint ids keep max semantics and
+    # finalize levels min semantics (most restrictive member wins).
     cols = [state.csum, state.size[:, None],
-            state.fin.astype(jnp.float32)[:, None],
             state.frozen.astype(jnp.float32)[:, None], state.sqsum]
     if state.gsum is not None:
         cols.append(state.gsum)
     stats = jax.ops.segment_sum(jnp.concatenate(cols, axis=1), root,
                                 num_segments=n)
     constr = jax.ops.segment_max(state.constr, root, num_segments=n)
+    fin = jax.ops.segment_min(state.fin, root, num_segments=n)
     label = root[state.label]
     moved = jnp.sum(root != slots)
     return SolverState(label, stats[:, 0:3], stats[:, 3], constr,
-                       stats[:, 4] > 0, stats[:, 5] > 0, stats[:, 6:9],
-                       stats[:, 9:11] if state.gsum is not None else None
+                       fin, stats[:, 4] > 0, stats[:, 5:8],
+                       stats[:, 8:10] if state.gsum is not None else None
                        ), moved, jnp.sum(have)
 
 
@@ -512,7 +522,7 @@ def _round(state: SolverState, vol, flow, theta, up, mode, n, sink,
     own_mean = feats[..., _C_MEAN]
     own_size = feats[..., _C_SIZE]
     own_constr = feats[..., _C_CONSTR].astype(jnp.int32)
-    own_fin = feats[..., _C_FIN] > 0
+    own_fin = feats[..., _C_FIN]
     is_min_size = mode == MODE_MIN_SIZE
     own_small = own_size < p.min_region_size
     own_live = label3 != sink
@@ -524,7 +534,7 @@ def _round(state: SolverState, vol, flow, theta, up, mode, n, sink,
                & (jnp.logical_not(d.temporal) | use_temporal))
         dd = _desc_distance(own_mean, d.nb_mean, d.bucket, p)
         either_free = (own_constr < 0) | (d.nb_constr < 0)
-        regular = (either_free & ~own_fin & ~d.nb_fin
+        regular = (either_free & (d.bucket < own_fin) & (d.bucket < d.nb_fin)
                    & (dd < p.merge_threshold))
         constr_same = (~either_free & (own_constr == d.nb_constr)
                        & (dd <= p.split_threshold))
@@ -558,35 +568,37 @@ def _level_end(state: SolverState, vol, flow, theta, n, p: OversegParams,
     own_mean = feats[..., _C_MEAN]
     own_size = feats[..., _C_SIZE]
     own_constr = feats[..., _C_CONSTR].astype(jnp.int32)
-    own_fin = feats[..., _C_FIN] > 0
+    own_fin = feats[..., _C_FIN]
     own_frozen = feats[..., _C_FROZEN] > 0
 
     def fold(carry, d):
-        fail_any, uncon_any = carry
+        fail_min, uncon_any = carry
         act = (d.valid & (d.nb_label != label3) & (d.bucket <= theta)
                & (jnp.logical_not(d.temporal) | use_temporal))
         dd = _desc_distance(own_mean, d.nb_mean, d.bucket, p)
         either_free = (own_constr < 0) | (d.nb_constr < 0)
-        fail = (act & either_free & ~own_fin & ~d.nb_fin
-                & (dd >= p.merge_threshold))
+        fail = (act & either_free & (d.bucket < own_fin)
+                & (d.bucket < d.nb_fin) & (dd >= p.merge_threshold))
         split = (act & ~either_free & (own_constr == d.nb_constr)
                  & (dd > p.split_threshold))
         # Unconstrain own side unless the neighbor is much smaller (the
         # neighbor then unconstrains itself from its own view).  Frozen
         # regions are never unconstrained.
         uncon = split & ~(d.nb_size < 0.3 * own_size) & ~own_frozen
-        return fail_any | fail, uncon_any | uncon
+        return (jnp.minimum(fail_min, jnp.where(fail, d.bucket, _I32MAX)),
+                uncon_any | uncon)
 
-    init = (jnp.zeros((t, h, w), bool), jnp.zeros((t, h, w), bool))
-    fail_any, uncon_any = _fold_dirs(
+    init = (jnp.full((t, h, w), _I32MAX, jnp.int32),
+            jnp.zeros((t, h, w), bool))
+    fail_min, uncon_any = _fold_dirs(
         feats, label3, flow, p.metric, SPATIAL_ALL, True, fold, init)
 
-    fail_r = jax.ops.segment_max(fail_any.reshape(-1).astype(jnp.int32),
-                                 state.label, num_segments=n) > 0
+    fail_r = jax.ops.segment_min(fail_min.reshape(-1), state.label,
+                                 num_segments=n)
     uncon_r = jax.ops.segment_max(uncon_any.reshape(-1).astype(jnp.int32),
                                   state.label, num_segments=n) > 0
     return state._replace(
-        fin=state.fin | fail_r,
+        fin=jnp.minimum(state.fin, fail_r),
         constr=jnp.where(uncon_r, -1, state.constr))
 
 
@@ -737,7 +749,7 @@ def _table_round(ts: SolverState, ptn, pbk, theta, up, mode, nseg, sink,
     mthr, sthr = _thresholds(p)
 
     either_free = (own_constr[:, None] < 0) | (nb_constr < 0)
-    regular = (either_free & ~own_fin[:, None] & ~nb_fin
+    regular = (either_free & (pbk < own_fin[:, None]) & (pbk < nb_fin)
                & (dd < mthr))
     constr_same = (~either_free & (own_constr[:, None] == nb_constr)
                    & (dd <= sthr))
@@ -804,20 +816,19 @@ def _table_level_end(ts: SolverState, tab, theta, nseg, sink,
     mthr, sthr = _thresholds(p)
 
     either_free = (own_constr[:, None] < 0) | (nb_constr < 0)
-    fail = (act & either_free & ~own_fin[:, None] & ~nb_fin
+    fail = (act & either_free & (bkt < own_fin[:, None]) & (bkt < nb_fin)
             & (dd >= mthr))
     split = (act & ~either_free & (own_constr[:, None] == nb_constr)
              & (dd > sthr))
     uncon = split & ~(nb_size < 0.3 * own_size[:, None]) \
         & ~own_frozen[:, None]
 
-    fail_slot = jnp.any(fail, axis=1)
+    fail_slot = jnp.min(jnp.where(fail, bkt, _I32MAX), axis=1)
     uncon_slot = jnp.any(uncon, axis=1)
-    fail_r = jax.ops.segment_max(fail_slot.astype(jnp.int32), own,
-                                 num_segments=nseg) > 0
+    fail_r = jax.ops.segment_min(fail_slot, own, num_segments=nseg)
     uncon_r = jax.ops.segment_max(uncon_slot.astype(jnp.int32), own,
                                   num_segments=nseg) > 0
-    return ts._replace(fin=ts.fin | fail_r,
+    return ts._replace(fin=jnp.minimum(ts.fin, fail_r),
                        constr=jnp.where(uncon_r, -1, ts.constr))
 
 
@@ -889,13 +900,13 @@ def _compact(state: SolverState, n_pix: int, r_cap: int):
                                num_segments=nseg)
     constr = jax.ops.segment_max(
         jnp.where(is_root, state.constr, -1), cidx, num_segments=nseg)
-    fin = jax.ops.segment_max(
-        (is_root & state.fin).astype(jnp.int32), cidx, num_segments=nseg) > 0
+    fin = jax.ops.segment_min(
+        jnp.where(is_root, state.fin, _I32MAX), cidx, num_segments=nseg)
     frozen = jax.ops.segment_max(
         (is_root & state.frozen).astype(jnp.int32), cidx,
         num_segments=nseg) > 0
-    # Sink must never merge: mark finalized with no constraint.
-    fin = fin.at[r_cap].set(True)
+    # Sink must never merge: finalize level 0, no constraint.
+    fin = fin.at[r_cap].set(0)
     constr = constr.at[r_cap].set(-1)
     cstate = SolverState(clabel, csum, size, constr, fin, frozen, sqsum)
     return cstate, state.label
@@ -927,8 +938,7 @@ def _solve(vol, flow, init_label, constr_init, frozen_init, fin_init,
                                  num_segments=n_pix)
     frozen = jax.ops.segment_max(frozen_init.astype(jnp.int32), init_label,
                                  num_segments=n_pix) > 0
-    fin0 = jax.ops.segment_max(fin_init.astype(jnp.int32), init_label,
-                               num_segments=n_pix) > 0
+    fin0 = jax.ops.segment_min(fin_init, init_label, num_segments=n_pix)
     volf = vol.reshape(n_pix, 3)
     sqsum = jax.ops.segment_sum(volf * volf, init_label,
                                 num_segments=n_pix)
@@ -1074,10 +1084,9 @@ def _init_table(vol, init_label, constr_init, frozen_init, fin_init,
     else:
         constr = jnp.full(nseg, -1, jnp.int32)
         frozen = jnp.zeros(nseg, bool)
-    fin = jax.ops.segment_max(fin_init.astype(jnp.int32), memb,
-                              num_segments=nseg) > 0
-    # Sink must never merge: finalized, unconstrained.
-    fin = fin.at[r_cap].set(True)
+    fin = jax.ops.segment_min(fin_init, memb, num_segments=nseg)
+    # Sink must never merge: finalize level 0, unconstrained.
+    fin = fin.at[r_cap].set(0)
     constr = constr.at[r_cap].set(-1)
     # Original root voxel per slot (label reconstruction).
     orig_slot = jnp.zeros(nseg, jnp.int32).at[
@@ -1175,7 +1184,7 @@ def _recompact_table(ts, tab, o2n, fb_slot, orig_slot, new_cap: int):
         csum=ts.csum[inv] * vf,
         size=ts.size[inv] * vf[:, 0],
         constr=jnp.where(valid_new, ts.constr[inv], -1),
-        fin=jnp.where(valid_new, ts.fin[inv], True),
+        fin=jnp.where(valid_new, ts.fin[inv], 0),
         frozen=jnp.where(valid_new, ts.frozen[inv], False),
         sqsum=ts.sqsum[inv] * vf,
         gsum=ts.gsum[inv] * vf if ts.gsum is not None else None)
@@ -1256,8 +1265,10 @@ def _finish_table_solve(ts, tab, memb, orig_slot, init_label, shape3,
 
         ts = jax.lax.fori_loop(0, thetas.shape[0], level_body_s, ts)
         # The spatial pass's finalizations do not carry into the full pass
-        # (the reference rebuilds the graph state for the full run).
-        ts = ts._replace(fin=jnp.zeros_like(ts.fin))
+        # (the reference rebuilds the graph state for the full run); the
+        # sink stays blocked.
+        ts = ts._replace(fin=jnp.full_like(ts.fin, NUM_BUCKETS)
+                         .at[nseg0 - 1].set(0))
 
     # Schedule levels over shrinking table phases: each phase runs levels
     # while the live count does not yet fit the next phase's table, then
@@ -1332,10 +1343,17 @@ def _finish_table_solve(ts, tab, memb, orig_slot, init_label, shape3,
     fb_px = jnp.where(memb == nseg0 - 1, init_label, fb_slot[memb])
     final = jnp.where(root_px == sink_f, fb_px, orig_min[root_px])
     live = (ts.size > 0) & (jnp.arange(cap_f) != sink_f)
+    can16 = cap_f <= (1 << 16)   # static: final slots fit uint16
     return OversegResult(label=final.reshape(t, h, w),
                          constr=jnp.where(live, ts.constr, -1),
                          size=jnp.where(live, ts.size, 0.0),
-                         orig=jnp.where(live, orig_min, -1))
+                         orig=jnp.where(live, orig_min, -1),
+                         label16=(root_px.reshape(t, h, w)
+                                  .astype(jnp.uint16) if can16 else None),
+                         lut=orig_min if can16 else None,
+                         nsink=(jnp.sum((root_px == sink_f)
+                                        .astype(jnp.int32))
+                                if can16 else None))
 
 
 def _boundary_edges(vol, memb_g, B: int, bh: int, G: int,
@@ -1469,7 +1487,7 @@ def _solve_banded(vol, fl, init_label, constr_init, frozen_init, fin_init,
     ts = SolverState(
         label=jnp.arange(nseg_g, dtype=jnp.int32),
         csum=glue(csum_s, 0.0), size=glue(size_s, 0.0),
-        constr=glue(constr_s, -1), fin=glue(fin_s, True),
+        constr=glue(constr_s, -1), fin=glue(fin_s, 0),
         frozen=glue(frozen_s, False), sqsum=glue(sqsum_s, 0.0),
         gsum=glue(gsum_s, 0.0) if params.gradient_trait else None)
     orig_slot = glue(orig_s, 0)
@@ -1506,8 +1524,13 @@ def oversegment(vol, flow=None, constraints=None, init_label=None,
       frozen: optional (T,H,W) bool — voxels of already-emitted geometry
         (the reference's virtual nodes); their regions keep constraints and
         always merge with their constraint group.
-      fin: optional (T,H,W) bool — pre-finalized regions (e.g. failed merge
-        tests recorded by the tile-local pre-solve).
+      fin: optional (T,H,W) finalize levels (int: minimum bucket of a
+        failed merge test, NUM_BUCKETS = open; merges admissible only at
+        bucket < fin) or bool (True = blocked at every level).  Levels are
+        what the tile pre-solve exports: under the reference's ascending
+        edge order, "finalized" means no merges at weight >= the failing
+        edge's weight (segmentation_graph.h:399-402), NOT at the
+        lower weights it would already have merged.
       params: solver parameters.
 
     Returns OversegResult; `label` holds arbitrary root-voxel ids (compact
@@ -1530,9 +1553,11 @@ def oversegment(vol, flow=None, constraints=None, init_label=None,
     else:
         frozen_init = frozen.reshape(n).astype(bool)
     if fin is None:
-        fin_init = jnp.zeros(n, bool)
+        fin_init = jnp.full(n, NUM_BUCKETS, jnp.int32)
+    elif fin.dtype == jnp.bool_ or fin.dtype == bool:
+        fin_init = jnp.where(fin.reshape(n), 0, NUM_BUCKETS).astype(jnp.int32)
     else:
-        fin_init = fin.reshape(n).astype(bool)
+        fin_init = fin.reshape(n).astype(jnp.int32)
     if params.descriptor != "color_mean" and not params.edge_table:
         raise ValueError("descriptor traits other than color_mean require "
                          "the edge-table solver (edge_table=True)")

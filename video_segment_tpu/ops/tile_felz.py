@@ -101,14 +101,14 @@ def _label_min(labr, ohc, v):
     return jnp.concatenate(rows, axis=0).astype(jnp.int32)
 
 
-def _label_max(labr, ohc, v):
-    """Per-label max of v (0 identity), as (8,128) f32 table."""
+def _label_min_masked(labr, ohc, v):
+    """Per-label min of f32 v (+big identity), as (8,128) f32 table."""
     rows = []
-    vb = jnp.where(ohc, v[:, :, None], 0.0)
+    vb = jnp.where(ohc, v[:, :, None], 2.0 ** 31)
     labr3 = labr[:, :, None]
     for a in range(TILE_H):
-        va = jnp.where(labr3 == a, vb, 0.0)
-        rows.append(jnp.max(va, axis=(0, 1))[None, :])
+        va = jnp.where(labr3 == a, vb, 2.0 ** 31)
+        rows.append(jnp.min(va, axis=(0, 1))[None, :])
     return jnp.concatenate(rows, axis=0)
 
 
@@ -175,7 +175,7 @@ def _solve_subtile(color3, gy, gx, h, w, *, schedule, rounds_per_level,
         ohc = _onehot_cols(labc)
         ohc_f = ohc.astype(jnp.float32)
         mean_px = region_views(labr, ohc_f)
-        fin_px = _distribute(labr, ohc_f, fin_t)
+        fin_px = _distribute(labr, ohc_f, fin_t)   # f32 finalize level
         lab_flat = labr * TILE_W + labc
         best = jnp.full((TILE_H, TILE_W), _BIG, jnp.int32)
         for k, (dy, dx) in enumerate(DIRS):
@@ -185,7 +185,7 @@ def _solve_subtile(color3, gy, gx, h, w, *, schedule, rounds_per_level,
             dd = _dist(mean_px, nb_mean, metric)
             adm = (valids[k] & (buckets[k] <= theta)
                    & (nb_lab != lab_flat)
-                   & (fin_px < 0.5) & (nb_fin < 0.5)
+                   & (buckets[k] < fin_px) & (buckets[k] < nb_fin)
                    & (dd < merge_threshold))
             cand = (buckets[k] << 10) | nb_lab
             best = jnp.minimum(best, jnp.where(adm, cand, _BIG))
@@ -209,19 +209,24 @@ def _solve_subtile(color3, gy, gx, h, w, *, schedule, rounds_per_level,
         return labr2, labc, fin_t, fin_x
 
     def level_end(labr, labc, fin_t, fin_x, theta, _rnd):
-        # Any failed merge test at weight <= theta finalizes both endpoint
-        # regions (segmentation_graph.h:399-402).  The EXPORTED flag
-        # (fin_x) only records strong failures (dd >= margin * threshold):
-        # borderline tile-local failures often dissolve once the global
-        # phase sees whole-region means, and carrying them fragments the
-        # global result (round-3 sweep: margin gates the overseg region
-        # count between the carry-all and carry-none extremes).
+        # A failed merge test finalizes both endpoint regions FROM THE
+        # FAILING EDGE'S WEIGHT UP (segmentation_graph.h:399-402 processes
+        # edges in ascending order, so "finalized forever" there means
+        # "no merges at weight >= the failing edge's weight"): fin tables
+        # record the minimum failing bucket, and merge admissibility is
+        # bucket < fin.  A blanket flag would also block near-zero-weight
+        # edges the sequential reference would have merged long before the
+        # failure — across tile seams that preserved the 8x128 grid in
+        # smooth areas.  The EXPORTED level (fin_x) only counts strong
+        # failures (dd >= margin * threshold): borderline tile-local
+        # failures often dissolve once the global phase sees whole-region
+        # means (round-3 sweep).
         ohc = _onehot_cols(labc)
         ohc_f = ohc.astype(jnp.float32)
         mean_px = region_views(labr, ohc_f)
         lab_flat = labr * TILE_W + labc
-        fail = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-        strong = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+        fail = jnp.full((TILE_H, TILE_W), _BIG, jnp.int32)
+        strong = jnp.full((TILE_H, TILE_W), _BIG, jnp.int32)
         for k, (dy, dx) in enumerate(DIRS):
             nb_mean = [_roll2(m, dy, dx) for m in mean_px]
             nb_lab = _roll2(lab_flat, dy, dx)
@@ -229,13 +234,15 @@ def _solve_subtile(color3, gy, gx, h, w, *, schedule, rounds_per_level,
             act = (valids[k] & (buckets[k] <= theta)
                    & (nb_lab != lab_flat))
             bad = act & (dd >= merge_threshold)
-            fail = jnp.maximum(fail, bad.astype(jnp.float32))
-            strong = jnp.maximum(
+            fail = jnp.minimum(fail, jnp.where(bad, buckets[k], _BIG))
+            strong = jnp.minimum(
                 strong,
-                (act & (dd >= merge_threshold * fin_margin))
-                .astype(jnp.float32))
-        fin_t = jnp.maximum(fin_t, _label_max(labr, ohc, fail))
-        fin_x = jnp.maximum(fin_x, _label_max(labr, ohc, strong))
+                jnp.where(act & (dd >= merge_threshold * fin_margin),
+                          buckets[k], _BIG))
+        fin_t = jnp.minimum(
+            fin_t, _label_min_masked(labr, ohc, fail.astype(jnp.float32)))
+        fin_x = jnp.minimum(
+            fin_x, _label_min_masked(labr, ohc, strong.astype(jnp.float32)))
         return labr, labc, fin_t, fin_x
 
     def body(i, carry):
@@ -248,9 +255,9 @@ def _solve_subtile(color3, gy, gx, h, w, *, schedule, rounds_per_level,
         return jax.lax.cond(phase < r_per, merge_round, level_end,
                             labr, labc, fin_t, fin_x, theta, phase)
 
-    zeros = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+    open_f = jnp.full((TILE_H, TILE_W), float(_BIG), jnp.float32)
     labr, labc, fin_t, fin_x = jax.lax.fori_loop(
-        0, n_levels * (r_per + 1), body, (rows, cols, zeros, zeros))
+        0, n_levels * (r_per + 1), body, (rows, cols, open_f, open_f))
 
     fin_px = _distribute(labr, _onehot_cols(labc).astype(jnp.float32),
                          fin_x)
@@ -280,7 +287,9 @@ def _kernel(vol_ref, out_ref, fin_ref, *, h, w, band_h, schedule,
         root_x = x0 + (lab & 127)
         out_ref[0, pl.ds(s * TILE_H, TILE_H)] = \
             t_idx * (h * w) + root_y * w + root_x
-        fin_ref[0, pl.ds(s * TILE_H, TILE_H)] = (fin > 0.5).astype(jnp.int32)
+        # Finalize level, NUM_BUCKETS == never finalized (open).
+        fin_ref[0, pl.ds(s * TILE_H, TILE_H)] = \
+            jnp.minimum(fin, float(NUM_BUCKETS)).astype(jnp.int32)
         return 0
 
     jax.lax.fori_loop(0, band_h // TILE_H, sub_body, 0)
@@ -296,14 +305,23 @@ def tile_felzenszwalb(vol: jnp.ndarray,
                       merge_threshold: float = 0.05,
                       metric: str = "l2",
                       fin_margin: float = 1.0):
-    """(T,H,W,3) float volume -> ((T,H,W) int32 labels, (T,H,W) bool fin).
+    """(T,H,W,3) float volume -> ((T,H,W) int32 labels, (T,H,W) int32 fin).
 
-    Labels are global voxel ids of in-tile roots (self-rooted).  `fin`
-    marks pixels whose local region failed a merge test (feeds the global
-    solver's finalized set).
+    Labels are global voxel ids of in-tile roots (self-rooted).  `fin` is
+    the finalize LEVEL of each pixel's local region: the minimum bucket at
+    which a strong merge test failed (NUM_BUCKETS = never failed).  The
+    global solver admits merges only at bucket < fin — the ascending-order
+    meaning of the reference's finalization (segmentation_graph.h:399-402):
+    a blanket "finalized" flag would also block the near-zero-weight edges
+    the sequential reference merges long before any failure, which is what
+    preserved 8x128 tile seams in smooth areas.
     """
     t, h, w, _ = vol.shape
     band_h = 64 if h % 64 == 0 or h >= 256 else TILE_H
+    if h % band_h and h % 32 == 0:
+        band_h = 32        # avoid 15% dead padded rows (e.g. h=272 -> 288)
+    elif h % band_h and h % 16 == 0:
+        band_h = 16
     hp = -(-h // band_h) * band_h
     wp = -(-w // TILE_W) * TILE_W
     volp = jnp.pad(vol, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)),
@@ -332,7 +350,7 @@ def tile_felzenszwalb(vol: jnp.ndarray,
         interpret=jax.default_backend() != "tpu",
     )(volp)
     out = out[:, :h, :w]
-    fin = fin[:, :h, :w] > 0
+    fin = fin[:, :h, :w]
     # Labels are self-rooted by construction (the root cell's own label is
     # itself after full pointer jumping), but pointer-jump defensively —
     # it exits after one no-change iteration.
@@ -351,7 +369,7 @@ def tile_felz_reference(vol: np.ndarray, schedule=(4, 32, 192, 1024),
     """Sequential NumPy mirror of the kernel, tile by tile."""
     t, h, w, _ = vol.shape
     out = np.zeros((t, h, w), np.int64)
-    fin_out = np.zeros((t, h, w), bool)
+    fin_out = np.zeros((t, h, w), np.int64)
     for ti in range(t):
         for y0 in range(0, h, TILE_H):
             for x0 in range(0, w, TILE_W):
@@ -393,8 +411,9 @@ def _ref_subtile(c, hh, ww, schedule, rounds_per_level, merge_threshold,
         buckets[(dy, dx)] = bkt
         valids[(dy, dx)] = v
 
-    fin = np.zeros(TILE_H * TILE_W, bool)
-    fin_x = np.zeros(TILE_H * TILE_W, bool)
+    BIG = 2 ** 30
+    fin = np.full(TILE_H * TILE_W, BIG, np.int64)    # finalize level
+    fin_x = np.full(TILE_H * TILE_W, BIG, np.int64)  # exported (strong)
 
     def tables():
         csum = np.zeros((TILE_H * TILE_W, 3))
@@ -408,21 +427,22 @@ def _ref_subtile(c, hh, ww, schedule, rounds_per_level, merge_threshold,
             mean = tables()
             mean_px = mean[lab]
             fin_px = fin[lab]
-            best = np.full((TILE_H, TILE_W), 2 ** 30, np.int64)
+            best = np.full((TILE_H, TILE_W), BIG, np.int64)
             for dy, dx in DIRS:
                 nb_lab = np.roll(np.roll(lab, -dy, axis=0), -dx, axis=1)
                 nb_mean = np.roll(np.roll(mean_px, -dy, axis=0), -dx, axis=1)
                 nb_fin = np.roll(np.roll(fin_px, -dy, axis=0), -dx, axis=1)
                 dd = dist(mean_px, nb_mean)
-                adm = (valids[(dy, dx)] & (buckets[(dy, dx)] <= theta)
-                       & (nb_lab != lab) & ~fin_px & ~nb_fin
+                bkt = buckets[(dy, dx)]
+                adm = (valids[(dy, dx)] & (bkt <= theta)
+                       & (nb_lab != lab) & (bkt < fin_px) & (bkt < nb_fin)
                        & (dd < merge_threshold))
-                cand = (buckets[(dy, dx)] << 10) | nb_lab
-                best = np.minimum(best, np.where(adm, cand, 2 ** 30))
-            best_t = np.full(TILE_H * TILE_W, 2 ** 30, np.int64)
+                cand = (bkt << 10) | nb_lab
+                best = np.minimum(best, np.where(adm, cand, BIG))
+            best_t = np.full(TILE_H * TILE_W, BIG, np.int64)
             np.minimum.at(best_t, lab.ravel(), best.ravel())
             partner = best_t & 1023
-            have = best_t < 2 ** 30
+            have = best_t < BIG
             own = np.arange(TILE_H * TILE_W)
             up = (rnd % 2) == 0
             hook = have & ((partner > own) == up)
@@ -432,22 +452,27 @@ def _ref_subtile(c, hh, ww, schedule, rounds_per_level, merge_threshold,
 
         mean = tables()
         mean_px = mean[lab]
-        fail = np.zeros((TILE_H, TILE_W), bool)
-        strong = np.zeros((TILE_H, TILE_W), bool)
+        fail = np.full((TILE_H, TILE_W), BIG, np.int64)
+        strong = np.full((TILE_H, TILE_W), BIG, np.int64)
         for dy, dx in DIRS:
             nb_lab = np.roll(np.roll(lab, -dy, axis=0), -dx, axis=1)
             nb_mean = np.roll(np.roll(mean_px, -dy, axis=0), -dx, axis=1)
             dd = dist(mean_px, nb_mean)
-            act = (valids[(dy, dx)] & (buckets[(dy, dx)] <= theta)
-                   & (nb_lab != lab))
-            fail |= act & (dd >= merge_threshold)
-            strong |= act & (dd >= merge_threshold * fin_margin)
-        fail_t = np.zeros(TILE_H * TILE_W, bool)
-        np.logical_or.at(fail_t, lab.ravel(), fail.ravel())
-        fin |= fail_t
-        strong_t = np.zeros(TILE_H * TILE_W, bool)
-        np.logical_or.at(strong_t, lab.ravel(), strong.ravel())
-        fin_x |= strong_t
+            bkt = buckets[(dy, dx)]
+            act = (valids[(dy, dx)] & (bkt <= theta) & (nb_lab != lab))
+            fail = np.minimum(fail,
+                              np.where(act & (dd >= merge_threshold),
+                                       bkt, BIG))
+            strong = np.minimum(
+                strong,
+                np.where(act & (dd >= merge_threshold * fin_margin),
+                         bkt, BIG))
+        fail_t = np.full(TILE_H * TILE_W, BIG, np.int64)
+        np.minimum.at(fail_t, lab.ravel(), fail.ravel())
+        fin = np.minimum(fin, fail_t)
+        strong_t = np.full(TILE_H * TILE_W, BIG, np.int64)
+        np.minimum.at(strong_t, lab.ravel(), strong.ravel())
+        fin_x = np.minimum(fin_x, strong_t)
 
     # Resolve any residual label chains (the kernel caller's final
     # pointer_jump does the same).
@@ -458,4 +483,4 @@ def _ref_subtile(c, hh, ww, schedule, rounds_per_level, merge_threshold,
             break
         flat = nf
     lab = flat.reshape(lab.shape)
-    return lab, fin_x[lab]
+    return lab, np.minimum(fin_x, NUM_BUCKETS)[lab]

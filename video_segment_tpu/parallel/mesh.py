@@ -110,7 +110,8 @@ def sharded_oversegment(mesh: Mesh, params=None, has_flow: bool = False):
         n = t * h * w
         return ov._solve(vol, flow, jnp.arange(n, dtype=jnp.int32),
                          jnp.full(n, -1, jnp.int32), jnp.zeros(n, bool),
-                         jnp.zeros(n, bool), p, has_flow, False).label
+                         jnp.full(n, ov.NUM_BUCKETS, jnp.int32), p,
+                         has_flow, False).label
 
     vspec = NamedSharding(mesh, P("data", None, "space", None, None))
     return jax.jit(jax.vmap(solve_one),
