@@ -78,3 +78,42 @@ def test_flow_engine_batched_matches_compute(rng):
     assert got[0][2] is None
     for i in range(1, 7):
         np.testing.assert_allclose(got[i][2], ref[i], atol=1e-4)
+
+
+def test_tvl1_vs_farneback_on_real_video():
+    """External oracle (VERDICT r2 weak #6): on a real frame pair our
+    TV-L1 must match or beat cv2 Farneback by photometric warp error and
+    stay close to it in EPE.  Guards the data/TV term balance (a [0,1] vs
+    0..255 intensity-range miscalibration once made flow undershoot 2x —
+    warp error worse than zero flow)."""
+    import cv2
+    import jax.numpy as jnp
+
+    cap = cv2.VideoCapture("/root/reference/video_example/test_video.MOV")
+    ok1, f1 = cap.read()
+    ok1, f1 = cap.read()
+    ok2, f2 = cap.read()
+    cap.release()
+    if not ok2:
+        import pytest
+        pytest.skip("test video unavailable")
+    g1 = cv2.resize(cv2.cvtColor(f1, cv2.COLOR_BGR2GRAY), (240, 136))
+    g2 = cv2.resize(cv2.cvtColor(f2, cv2.COLOR_BGR2GRAY), (240, 136))
+    fb = cv2.calcOpticalFlowFarneback(g2, g1, None, 0.5, 3, 15, 3, 5, 1.2, 0)
+    ours = np.asarray(flow_mod.tvl1_flow(
+        jnp.asarray(g2.astype(np.float32) / 255.0),
+        jnp.asarray(g1.astype(np.float32) / 255.0)))
+
+    h, w = g2.shape
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+
+    def warp_mad(f):
+        warped = cv2.remap(g1, xx + f[..., 0], yy + f[..., 1],
+                           cv2.INTER_LINEAR)
+        return np.abs(warped.astype(np.float32)
+                      - g2.astype(np.float32)).mean()
+
+    assert warp_mad(ours) <= warp_mad(fb) * 1.1, \
+        f"ours {warp_mad(ours):.2f} vs farneback {warp_mad(fb):.2f}"
+    epe = np.hypot(ours[..., 0] - fb[..., 0], ours[..., 1] - fb[..., 1])
+    assert np.median(epe) < 0.8, f"median EPE vs farneback {np.median(epe)}"

@@ -165,6 +165,13 @@ def _tvl1_scale(i0, i1, u1, u2, p: TVL1Params):
 
 def _tvl1_flow_impl(i0: jnp.ndarray, i1: jnp.ndarray,
                     params: TVL1Params) -> jnp.ndarray:
+    # lambda_ = 0.15 is calibrated for 8-bit-range intensities (OpenCV's
+    # DualTVL1 keeps CV_8U inputs at 0..255): on [0,1] inputs the data
+    # term is ~255x weaker than the TV term and real-content flow
+    # undershoots ~2x (warp error worse than zero flow — measured).  Scale
+    # internally so the public [0,1] convention stays.
+    i0 = i0 * 255.0
+    i1 = i1 * 255.0
     pyr0 = [i0]
     pyr1 = [i1]
     for _ in range(params.nscales - 1):
