@@ -252,3 +252,23 @@ def test_mid_schedule_recompaction_preserves_partition(monkeypatch):
     assert len(ids_a) == len(ids_b)
     pair = inv_a.astype(np.int64) * len(ids_b) + inv_b
     assert len(np.unique(pair)) == len(ids_a)
+
+
+def test_finalize_level_gates_by_bucket():
+    """Finalization carries the failing edge's bucket, not a blanket flag
+    (segmentation_graph.h:399-402 under ascending edge order): a region
+    finalized at level L still merges across an edge of bucket < L (the
+    sequential reference would have processed that edge first), while
+    level 0 blocks everything.  This is what dissolves preseg tile seams
+    in smooth areas."""
+    t, h, w = 1, 16, 256
+    vol = jnp.full((t, h, w, 3), 0.3, jnp.float32)
+    init = np.zeros((t, h, w), np.int32)
+    init[:, :, 128:] = 128      # two same-color halves, seeded separately
+    params = ov.OversegParams(edge_table=True, table_slots=1024,
+                              min_region_size=1)
+    for fin_level, want in ((50, 1), (0, 2)):
+        fin = jnp.full((t, h, w), fin_level, jnp.int32)
+        res = ov.oversegment(vol, init_label=jnp.asarray(init), fin=fin,
+                             params=params)
+        assert len(np.unique(np.asarray(res.label))) == want, fin_level
