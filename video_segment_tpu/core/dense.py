@@ -189,15 +189,14 @@ class DenseSegmentation:
                               self.options.presmoothing, self._pad_rows)
 
     def _preseg_frame(self, img: jnp.ndarray):
-        """Tile-local felz preseg of one (padded) frame; frame-local voxel
-        label ids plus finalized flags."""
+        """Tile-local felz preseg of one (padded) frame: frame-local voxel
+        label ids, finalize levels, and cell-positioned region stats."""
         from video_segment_tpu.ops import tile_felz
-        lab, fin = tile_felz.tile_felzenszwalb(
+        return tile_felz.tile_felzenszwalb(
             img[None], schedule=self._params.preseg_schedule,
             merge_threshold=self._params.merge_threshold,
             metric=self.options.color_distance,
             fin_margin=self._params.preseg_fin_margin)
-        return lab, fin
 
     # -- streaming --------------------------------------------------------
 
@@ -274,6 +273,7 @@ class DenseSegmentation:
         t_pre0 = time.monotonic()
         tile_init = None
         tile_fin = None
+        tile_stats = None
         if self.options.tile_presegment or self._params.edge_table:
             if self._preseg_mode == "felz":
                 # Assemble the per-frame presegs dispatched at ingest
@@ -287,8 +287,12 @@ class DenseSegmentation:
                 offs = (jnp.arange(t_solve, dtype=jnp.int32)[:, None, None]
                         * (hp * w))
                 tile_init = jnp.concatenate(
-                    [lab for lab, _ in per_frame]) + offs
-                tile_fin = jnp.concatenate([fin for _, fin in per_frame])
+                    [lab for lab, _, _ in per_frame]) + offs
+                tile_fin = jnp.concatenate(
+                    [fin for _, fin, _ in per_frame])
+                tile_stats = tuple(
+                    jnp.concatenate([st[i] for _, _, st in per_frame])
+                    for i in range(4))
                 if timing:
                     tile_init.block_until_ready()
                 if not self._params.carry_preseg_fin:
@@ -414,7 +418,10 @@ class DenseSegmentation:
         t_solve0 = time.monotonic()
         res = ov.oversegment(vol, flow=flow, constraints=constraints,
                              init_label=init_label, frozen=frozen,
-                             fin=tile_fin, params=params)
+                             fin=tile_fin, params=params,
+                             cell_stats=tile_stats,
+                             head_planes=(1 + self.constraint_frames
+                                          if self._overlap_gids else 0))
         if res.label16 is not None and int(np.asarray(res.nsink)) == 0:
             # Compressed label transport: uint16 slot volume + int32 LUT is
             # half the bytes of the int32 label volume on the remote link.

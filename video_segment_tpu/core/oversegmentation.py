@@ -914,9 +914,11 @@ def _compact(state: SolverState, n_pix: int, r_cap: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("params", "has_flow", "has_constraints"))
+    static_argnames=("params", "has_flow", "has_constraints",
+                     "head_planes"))
 def _solve(vol, flow, init_label, constr_init, frozen_init, fin_init,
-           params: OversegParams, has_flow: bool, has_constraints: bool):
+           params: OversegParams, has_flow: bool, has_constraints: bool,
+           cell_stats=None, head_planes: int = 0):
     t, h, w, _ = vol.shape
     n_pix = t * h * w
     fl = flow if has_flow else None
@@ -928,7 +930,8 @@ def _solve(vol, flow, init_label, constr_init, frozen_init, fin_init,
             + [params.max_final_rounds], jnp.int32)
         return _solve_edge_table(vol, fl, init_label, constr_init,
                                  frozen_init, fin_init, params, n_pix,
-                                 thetas_, lr_, has_constraints)
+                                 thetas_, lr_, has_constraints,
+                                 cell_stats, head_planes)
 
     ones = jnp.ones(n_pix, jnp.float32)
     csum = jax.ops.segment_sum(vol.reshape(n_pix, 3), init_label,
@@ -1040,14 +1043,24 @@ def _table_cap(params: OversegParams, n_pix: int, h: int, w: int,
 
 
 def _init_table(vol, init_label, constr_init, frozen_init, fin_init,
-                r_cap: int, has_constraints: bool, params: OversegParams):
+                r_cap: int, has_constraints: bool, params: OversegParams,
+                cell_stats=None, head_planes: int = 0):
     """Fused seed-compaction: renumber self-rooted init labels into table
     slots and aggregate region statistics directly there (one O(N) pass —
     the former pixel-space init + `_compact` did it twice).
 
+    With `cell_stats` (size, c0, c1, c2 — per-region sums CELL-POSITIONED
+    at root voxels, as the felz pre-solve exports), per-slot stats GATHER
+    from root cells instead of segment-summing all pixels: the 7-column
+    pixel scatter dominated init on the remote backend.  The first
+    `head_planes` planes (host-built constraint groups whose cells carry
+    no stats) still reduce from their pixels — a nc/t fraction of the
+    volume.
+
     Returns (table SolverState with identity labels, per-pixel membership,
     per-slot original root voxel id)."""
     n_pix = init_label.shape[0]
+    t_, h_, w_ = vol.shape[0], vol.shape[1], vol.shape[2]
     nseg = r_cap + 1
     slots = jnp.arange(n_pix, dtype=jnp.int32)
     is_root = init_label == slots
@@ -1055,42 +1068,79 @@ def _init_table(vol, init_label, constr_init, frozen_init, fin_init,
     ok = is_root & (cidx_all < r_cap)
     cidx = jnp.where(ok, cidx_all, r_cap)
     memb = cidx[init_label]                    # (N,) pixel -> slot (or sink)
+    # Original root voxel per slot (label reconstruction; doubles as the
+    # slot -> root-cell index for the stats gathers below).
+    orig_slot = jnp.zeros(nseg, jnp.int32).at[cidx].max(
+        jnp.where(ok, slots, 0))
 
     volf = vol.reshape(n_pix, -1)
     color = volf[:, 0:3]
     ones = jnp.ones((n_pix, 1), jnp.float32)
-    cols = [color, ones]
-    if params.descriptor == "color_mean_variance":
-        cols.append(color * color)
+    use_var = params.descriptor == "color_mean_variance"
     use_grad = params.gradient_trait and volf.shape[1] >= 5
-    if use_grad:
-        from video_segment_tpu.ops import pixel_distance as pd
-        cols.append(pd.sign_normalize(volf[:, 3:5]))
-    stats = jax.ops.segment_sum(jnp.concatenate(cols, axis=1), memb,
-                                num_segments=nseg)
-    csum = stats[:, 0:3]
-    size = stats[:, 3]
-    off = 4
-    if params.descriptor == "color_mean_variance":
-        sqsum = stats[:, off:off + 3]
-        off += 3
-    else:
+    fast = cell_stats is not None and not use_var and not use_grad
+
+    if fast:
+        head_n = head_planes * h_ * w_
+        size_c, c0, c1, c2 = (x.reshape(n_pix) for x in cell_stats)
+        n_active = jnp.sum(ok.astype(jnp.int32))
+        valid = jnp.arange(nseg, dtype=jnp.int32) < n_active
+        zero_head = (lambda x: jnp.concatenate(
+            [jnp.zeros(head_n, x.dtype), x[head_n:]]) if head_n else x)
+        size = jnp.where(valid, zero_head(size_c)[orig_slot], 0.0)
+        csum = jnp.stack([zero_head(c0)[orig_slot],
+                          zero_head(c1)[orig_slot],
+                          zero_head(c2)[orig_slot]], axis=1) \
+            * valid[:, None].astype(jnp.float32)
+        fin = jnp.where(valid, fin_init[orig_slot], _I32MAX)
+        if head_n:
+            hstats = jax.ops.segment_sum(
+                jnp.concatenate([color[:head_n], ones[:head_n]], axis=1),
+                memb[:head_n], num_segments=nseg)
+            csum = csum + hstats[:, 0:3]
+            size = size + hstats[:, 3]
         sqsum = jnp.zeros((nseg, 3), jnp.float32)
-    gsum = stats[:, off:off + 2] if use_grad else None
-    if has_constraints:
-        constr = jax.ops.segment_max(constr_init, memb, num_segments=nseg)
-        frozen = jax.ops.segment_max(frozen_init.astype(jnp.int32), memb,
-                                     num_segments=nseg) > 0
+        gsum = None
+        if has_constraints:
+            hm = memb[:head_n] if head_n else memb[:0]
+            constr = jnp.maximum(jax.ops.segment_max(
+                constr_init[:head_n], hm, num_segments=nseg), -1)
+            frozen = jax.ops.segment_max(
+                frozen_init[:head_n].astype(jnp.int32), hm,
+                num_segments=nseg) > 0
+        else:
+            constr = jnp.full(nseg, -1, jnp.int32)
+            frozen = jnp.zeros(nseg, bool)
     else:
-        constr = jnp.full(nseg, -1, jnp.int32)
-        frozen = jnp.zeros(nseg, bool)
-    fin = jax.ops.segment_min(fin_init, memb, num_segments=nseg)
+        cols = [color, ones]
+        if use_var:
+            cols.append(color * color)
+        if use_grad:
+            from video_segment_tpu.ops import pixel_distance as pd
+            cols.append(pd.sign_normalize(volf[:, 3:5]))
+        stats = jax.ops.segment_sum(jnp.concatenate(cols, axis=1), memb,
+                                    num_segments=nseg)
+        csum = stats[:, 0:3]
+        size = stats[:, 3]
+        off = 4
+        if use_var:
+            sqsum = stats[:, off:off + 3]
+            off += 3
+        else:
+            sqsum = jnp.zeros((nseg, 3), jnp.float32)
+        gsum = stats[:, off:off + 2] if use_grad else None
+        if has_constraints:
+            constr = jax.ops.segment_max(constr_init, memb,
+                                         num_segments=nseg)
+            frozen = jax.ops.segment_max(frozen_init.astype(jnp.int32),
+                                         memb, num_segments=nseg) > 0
+        else:
+            constr = jnp.full(nseg, -1, jnp.int32)
+            frozen = jnp.zeros(nseg, bool)
+        fin = jax.ops.segment_min(fin_init, memb, num_segments=nseg)
     # Sink must never merge: finalize level 0, unconstrained.
     fin = fin.at[r_cap].set(0)
     constr = constr.at[r_cap].set(-1)
-    # Original root voxel per slot (label reconstruction).
-    orig_slot = jnp.zeros(nseg, jnp.int32).at[
-        jnp.where(ok, cidx_all, r_cap)].max(jnp.where(ok, slots, 0))
     ts = SolverState(jnp.arange(nseg, dtype=jnp.int32), csum, size, constr,
                      fin, frozen, sqsum, gsum)
     return ts, memb, orig_slot
@@ -1098,7 +1148,8 @@ def _init_table(vol, init_label, constr_init, frozen_init, fin_init,
 
 def _solve_edge_table(vol, fl, init_label, constr_init, frozen_init,
                       fin_init, params, n_pix, thetas, level_rounds,
-                      has_constraints):
+                      has_constraints, cell_stats=None,
+                      head_planes: int = 0):
     """Edge-table phases of the v2 solver (see module docstring and the
     OversegParams.edge_table comment).  `fl` is the flow or None."""
     t, h, w, _ = vol.shape
@@ -1108,14 +1159,15 @@ def _solve_edge_table(vol, fl, init_label, constr_init, frozen_init,
     if params.bands > 1:
         return _solve_banded(vol, fl, init_label, constr_init, frozen_init,
                              fin_init, params, thetas, level_rounds,
-                             has_constraints)
+                             has_constraints, cell_stats, head_planes)
     r_cap = _table_cap(params, n_pix, h, w, has_constraints)
     nseg = r_cap + 1
     sink = r_cap
     with jax.named_scope("overseg_init_table"):
         ts, memb, orig_slot = _init_table(vol, init_label, constr_init,
                                           frozen_init, fin_init, r_cap,
-                                          has_constraints, params)
+                                          has_constraints, params,
+                                          cell_stats, head_planes)
     with jax.named_scope("overseg_extract_edges"):
         tab = _extract_edges(memb.reshape(t, h, w), vol, fl, nseg, sink,
                              params)
@@ -1408,7 +1460,7 @@ def _boundary_edges(vol, memb_g, B: int, bh: int, G: int,
 
 def _solve_banded(vol, fl, init_label, constr_init, frozen_init, fin_init,
                   params: OversegParams, thetas, level_rounds,
-                  has_constraints):
+                  has_constraints, cell_stats=None, head_planes: int = 0):
     """Row-banded pixel phases + global table phases (OversegParams.bands).
 
     Each band runs seed compaction and edge extraction independently
@@ -1451,13 +1503,21 @@ def _solve_banded(vol, fl, init_label, constr_init, frozen_init, fin_init,
     constr_b = band_split(constr_init.reshape(t, h, w))
     frozen_b = band_split(frozen_init.reshape(t, h, w))
     fin_b = band_split(fin_init.reshape(t, h, w))
+    if cell_stats is not None:
+        cells_b = tuple(band_split(x.reshape(t, h, w)) for x in cell_stats)
+    else:
+        cells_b = tuple(jnp.zeros((B, 0)) for _ in range(4))
     has_flow = fl is not None
+    use_cells = cell_stats is not None
 
     def band_fn(args):
-        vb, flb, il, cb, fb, finb, bidx = args
+        vb, flb, il, cb, fb, finb, cls, bidx = args
+        cls_flat = (tuple(x.reshape(-1) for x in cls) if use_cells
+                    else None)
         ts_b, memb_b, orig_b = _init_table(
             vb, il.reshape(-1), cb.reshape(-1), fb.reshape(-1),
-            finb.reshape(-1), cap_b, has_constraints, params)
+            finb.reshape(-1), cap_b, has_constraints, params,
+            cls_flat, head_planes)
         tab_b = _extract_edges(memb_b.reshape(t, bh, w), vb,
                                flb if has_flow else None, nseg_b, cap_b,
                                params, global_base=bidx * cap_b,
@@ -1474,7 +1534,7 @@ def _solve_banded(vol, fl, init_label, constr_init, frozen_init, fin_init,
         functools.partial(jax.lax.map, band_fn)
     (csum_s, size_s, constr_s, fin_s, frozen_s, sqsum_s, gsum_s, memb_s,
      tab_s, orig_s) = mapper(
-        (vol_b, fl_b, init_local, constr_b, frozen_b, fin_b,
+        (vol_b, fl_b, init_local, constr_b, frozen_b, fin_b, cells_b,
          jnp.arange(B, dtype=jnp.int32)))
 
     def glue(rows, sink_val, dtype=None):
@@ -1511,7 +1571,8 @@ def _solve_banded(vol, fl, init_label, constr_init, frozen_init, fin_init,
 
 def oversegment(vol, flow=None, constraints=None, init_label=None,
                 frozen=None, fin=None,
-                params: OversegParams = OversegParams()) -> OversegResult:
+                params: OversegParams = OversegParams(),
+                cell_stats=None, head_planes: int = 0) -> OversegResult:
     """Over-segment a chunk volume.
 
     Args:
@@ -1568,4 +1629,5 @@ def oversegment(vol, flow=None, constraints=None, init_label=None,
     if flow is None:
         flow = jnp.zeros((max(t - 1, 0), h, w, 2), jnp.float32)
     return _solve(vol, flow, init_label, constr_init, frozen_init, fin_init,
-                  params, has_flow, has_constraints)
+                  params, has_flow, has_constraints, cell_stats,
+                  head_planes)

@@ -259,13 +259,44 @@ def _solve_subtile(color3, gy, gx, h, w, *, schedule, rounds_per_level,
     labr, labc, fin_t, fin_x = jax.lax.fori_loop(
         0, n_levels * (r_per + 1), body, (rows, cols, open_f, open_f))
 
-    fin_px = _distribute(labr, _onehot_cols(labc).astype(jnp.float32),
-                         fin_x)
-    return labr * TILE_W + labc, fin_px
+    # Resolve residual label chains to a fixed point, min-propagating the
+    # fin table along the pointer graph as labels jump: fins (and the
+    # stats below) recorded at a STALE chain root would otherwise be
+    # orphaned when its pixels re-point to the true root.
+    def jcond(carry):
+        return carry[3]
+
+    def jbody(carry):
+        labr, labc, finx, _ = carry
+        ohc_b = _onehot_cols(labc)
+        ohc_f = ohc_b.astype(jnp.float32)
+        finx2 = _label_min_masked(labr, ohc_b, finx)
+        nr = _distribute(labr, ohc_f, labr.astype(jnp.float32)) \
+            .astype(jnp.int32)
+        nc = _distribute(labr, ohc_f, labc.astype(jnp.float32)) \
+            .astype(jnp.int32)
+        chg = jnp.any((nr != labr) | (nc != labc))
+        return nr, nc, finx2, chg
+
+    labr, labc, fin_x, _ = jax.lax.while_loop(
+        jcond, jbody, (labr, labc, fin_x, jnp.bool_(True)))
+
+    # Final per-region statistics, exported CELL-POSITIONED (value lives at
+    # the pixel position of its region's root cell): the global solver's
+    # init then gathers per-slot stats from O(regions) cells instead of
+    # segment-summing O(pixels) — the pixel-space scatters dominated
+    # _init_table on the remote backend.
+    ohc_f = _onehot_cols(labc).astype(jnp.float32)
+    fin_px = _distribute(labr, ohc_f, fin_x)
+    ones = jnp.ones((TILE_H, TILE_W), jnp.float32)
+    size_t = _aggregate(labr, ohc_f, ones)
+    csum_t = [_aggregate(labr, ohc_f, ch) for ch in c]
+    return labr * TILE_W + labc, fin_px, size_t, csum_t
 
 
-def _kernel(vol_ref, out_ref, fin_ref, *, h, w, band_h, schedule,
-            rounds_per_level, merge_threshold, metric, fin_margin):
+def _kernel(vol_ref, out_ref, fin_ref, size_ref, c0_ref, c1_ref, c2_ref, *,
+            h, w, band_h, schedule, rounds_per_level, merge_threshold,
+            metric, fin_margin):
     t_idx = pl.program_id(0)
     y_idx = pl.program_id(1)
     x_idx = pl.program_id(2)
@@ -278,18 +309,23 @@ def _kernel(vol_ref, out_ref, fin_ref, *, h, w, band_h, schedule,
         cols = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
         gy = y0 + rows
         gx = x0 + cols
-        lab, fin = _solve_subtile(color3, gy, gx, h, w, schedule=schedule,
-                                  rounds_per_level=rounds_per_level,
-                                  merge_threshold=merge_threshold,
-                                  metric=metric, fin_margin=fin_margin)
+        lab, fin, size_t, csum_t = _solve_subtile(
+            color3, gy, gx, h, w, schedule=schedule,
+            rounds_per_level=rounds_per_level,
+            merge_threshold=merge_threshold,
+            metric=metric, fin_margin=fin_margin)
         # local root -> global voxel id
         root_y = y0 + (lab >> 7)
         root_x = x0 + (lab & 127)
-        out_ref[0, pl.ds(s * TILE_H, TILE_H)] = \
-            t_idx * (h * w) + root_y * w + root_x
+        ds = pl.ds(s * TILE_H, TILE_H)
+        out_ref[0, ds] = t_idx * (h * w) + root_y * w + root_x
         # Finalize level, NUM_BUCKETS == never finalized (open).
-        fin_ref[0, pl.ds(s * TILE_H, TILE_H)] = \
+        fin_ref[0, ds] = \
             jnp.minimum(fin, float(NUM_BUCKETS)).astype(jnp.int32)
+        size_ref[0, ds] = size_t
+        c0_ref[0, ds] = csum_t[0]
+        c1_ref[0, ds] = csum_t[1]
+        c2_ref[0, ds] = csum_t[2]
         return 0
 
     jax.lax.fori_loop(0, band_h // TILE_H, sub_body, 0)
@@ -305,9 +341,14 @@ def tile_felzenszwalb(vol: jnp.ndarray,
                       merge_threshold: float = 0.05,
                       metric: str = "l2",
                       fin_margin: float = 1.0):
-    """(T,H,W,3) float volume -> ((T,H,W) int32 labels, (T,H,W) int32 fin).
+    """(T,H,W,3) float volume -> (labels, fin, (size, c0, c1, c2)).
 
-    Labels are global voxel ids of in-tile roots (self-rooted).  `fin` is
+    `stats` are CELL-POSITIONED per-region statistics ((T,H,W) f32 each):
+    the voxel count and per-channel color sums of each region, stored at
+    the pixel position of the region's root cell (0 elsewhere) — the
+    global solver's table init gathers these instead of re-reducing
+    pixels.  Labels are global voxel ids of in-tile roots
+    (self-rooted).  `fin` is
     the finalize LEVEL of each pixel's local region: the minimum bucket at
     which a strong merge test failed (NUM_BUCKETS = never failed).  The
     global solver admits merges only at bucket < fin — the ascending-order
@@ -327,34 +368,39 @@ def tile_felzenszwalb(vol: jnp.ndarray,
     volp = jnp.pad(vol, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)),
                    constant_values=1e6)
 
-    out, fin = pl.pallas_call(
+    ospec = pl.BlockSpec((1, band_h, TILE_W),
+                         lambda ti, yi, xi: (ti, yi, xi),
+                         memory_space=pltpu.VMEM)
+    out, fin, size_c, c0, c1, c2 = pl.pallas_call(
         functools.partial(_kernel, h=h, w=w, band_h=band_h,
                           schedule=schedule,
                           rounds_per_level=rounds_per_level,
                           merge_threshold=merge_threshold, metric=metric,
                           fin_margin=fin_margin),
         out_shape=(jax.ShapeDtypeStruct((t, hp, wp), jnp.int32),
-                   jax.ShapeDtypeStruct((t, hp, wp), jnp.int32)),
+                   jax.ShapeDtypeStruct((t, hp, wp), jnp.int32),
+                   jax.ShapeDtypeStruct((t, hp, wp), jnp.float32),
+                   jax.ShapeDtypeStruct((t, hp, wp), jnp.float32),
+                   jax.ShapeDtypeStruct((t, hp, wp), jnp.float32),
+                   jax.ShapeDtypeStruct((t, hp, wp), jnp.float32)),
         grid=(t, hp // band_h, wp // TILE_W),
         in_specs=[pl.BlockSpec((1, band_h, TILE_W, 3),
                                lambda ti, yi, xi: (ti, yi, xi, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=(pl.BlockSpec((1, band_h, TILE_W),
-                                lambda ti, yi, xi: (ti, yi, xi),
-                                memory_space=pltpu.VMEM),
-                   pl.BlockSpec((1, band_h, TILE_W),
-                                lambda ti, yi, xi: (ti, yi, xi),
-                                memory_space=pltpu.VMEM)),
+        out_specs=(ospec,) * 6,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=jax.default_backend() != "tpu",
     )(volp)
     out = out[:, :h, :w]
     fin = fin[:, :h, :w]
+    stats = (size_c[:, :h, :w], c0[:, :h, :w], c1[:, :h, :w],
+             c2[:, :h, :w])
     # Labels are self-rooted by construction (the root cell's own label is
     # itself after full pointer jumping), but pointer-jump defensively —
     # it exits after one no-change iteration.
-    return (cc.pointer_jump(out.reshape(-1)).reshape(out.shape), fin)
+    return (cc.pointer_jump(out.reshape(-1)).reshape(out.shape), fin,
+            stats)
 
 
 # ---------------------------------------------------------------------------
@@ -370,6 +416,8 @@ def tile_felz_reference(vol: np.ndarray, schedule=(4, 32, 192, 1024),
     t, h, w, _ = vol.shape
     out = np.zeros((t, h, w), np.int64)
     fin_out = np.zeros((t, h, w), np.int64)
+    size_out = np.zeros((t, h, w), np.float32)
+    csum_out = np.zeros((t, h, w, 3), np.float32)
     for ti in range(t):
         for y0 in range(0, h, TILE_H):
             for x0 in range(0, w, TILE_W):
@@ -384,7 +432,18 @@ def tile_felz_reference(vol: np.ndarray, schedule=(4, 32, 192, 1024),
                 out[ti, y0:y0 + hh, x0:x0 + ww] = \
                     ti * h * w + (y0 + ry) * w + (x0 + rx)
                 fin_out[ti, y0:y0 + hh, x0:x0 + ww] = fin[:hh, :ww]
-    return out, fin_out
+                # Cell-positioned region stats over valid pixels.
+                lv = lab[:hh, :ww].ravel()
+                sz = np.zeros(TILE_H * TILE_W, np.float32)
+                cs = np.zeros((TILE_H * TILE_W, 3), np.float32)
+                np.add.at(sz, lv, 1.0)
+                np.add.at(cs, lv, pad[:hh, :ww].reshape(-1, 3))
+                cells = np.flatnonzero(sz > 0)
+                cy, cx = cells // TILE_W, cells % TILE_W
+                size_out[ti, y0 + cy, x0 + cx] = sz[cells]
+                csum_out[ti, y0 + cy, x0 + cx] = cs[cells]
+    return out, fin_out, (size_out, csum_out[..., 0], csum_out[..., 1],
+                          csum_out[..., 2])
 
 
 def _ref_subtile(c, hh, ww, schedule, rounds_per_level, merge_threshold,
@@ -474,13 +533,18 @@ def _ref_subtile(c, hh, ww, schedule, rounds_per_level, merge_threshold,
         np.minimum.at(strong_t, lab.ravel(), strong.ravel())
         fin_x = np.minimum(fin_x, strong_t)
 
-    # Resolve any residual label chains (the kernel caller's final
-    # pointer_jump does the same).
+    # Resolve residual label chains, min-propagating fins along the
+    # pointer graph exactly as the kernel's export loop does (fins at a
+    # stale chain root would otherwise be orphaned by the jump).
     flat = lab.ravel().copy()
-    for _ in range(12):
+    while True:
+        f2 = np.full(TILE_H * TILE_W, 2 ** 31, np.int64)
+        np.minimum.at(f2, flat, fin_x)
+        fin_x = f2
         nf = flat[flat]
-        if (nf == flat).all():
-            break
+        done = (nf == flat).all()
         flat = nf
+        if done:
+            break
     lab = flat.reshape(lab.shape)
     return lab, np.minimum(fin_x, NUM_BUCKETS)[lab]
