@@ -1593,6 +1593,13 @@ def oversegment(vol, flow=None, constraints=None, init_label=None,
         edge's weight (segmentation_graph.h:399-402), NOT at the
         lower weights it would already have merged.
       params: solver parameters.
+      cell_stats: optional (size, c0, c1, c2) per-region sums, CELL-
+        POSITIONED at root voxels ((T,H,W) f32 each, as
+        tile_felzenszwalb exports) — table init then gathers per-slot
+        stats from root cells instead of segment-summing pixels.
+      head_planes: number of leading planes whose init labels are host-
+        built constraint groups (no cell stats); those planes reduce from
+        pixels.  Static under jit.
 
     Returns OversegResult; `label` holds arbitrary root-voxel ids (compact
     them on the host), `constr[root]` the surviving compact constraint id.
