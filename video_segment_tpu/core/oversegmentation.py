@@ -170,13 +170,16 @@ class OversegParams(NamedTuple):
     # phases.  Off = finalization develops only from global level-end
     # tests (coarser, merges further).
     carry_preseg_fin: bool = True
-    # Only tile-local failures at >= margin * merge_threshold are carried
-    # (strong failures): borderline local failures often dissolve once the
-    # global phase sees whole-region means, and carrying them fragments
-    # the overseg ~40% finer than the reference (round-3 sweep: carry-all
-    # F 0.761/0.663/0.337 vs carry-none 0.730/0.620/0.442 at levels
-    # 0/0.4/0.75 — the margin sits between the extremes).
-    preseg_fin_margin: float = 1.5
+    # Only tile-local failures at >= margin * merge_threshold are carried.
+    # Under the old BLANKET-flag fin semantics the margin (1.5) was load-
+    # bearing: carried fins blocked even zero-weight cross-tile merges, so
+    # borderline failures fragmented the overseg ~40% finer than the
+    # reference (round-3 sweep: carry-all F 0.761/0.663/0.337 vs
+    # carry-none 0.730/0.620/0.442).  With LEVEL fins (block only at
+    # bucket >= the failing bucket) carrying every failure is the
+    # reference-faithful setting, so the default is 1.0; the margin knob
+    # remains for tuning.
+    preseg_fin_margin: float = 1.0
 
 
 class SolverState(NamedTuple):
