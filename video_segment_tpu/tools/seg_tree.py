@@ -29,7 +29,11 @@ def build_arg_parser():
     p.add_argument("--render_and_save", action="store_true",
                    help="render region video(s) to mp4")
     p.add_argument("--display", type=float, default=-1,
-                   help="render level in [0,1); negative disables")
+                   help="render level in [0,1); negative disables; a "
+                        "'level %%' trackbar adjusts it at runtime")
+    p.add_argument("--blend_alpha", type=float, default=0.5,
+                   help="display blend of rendered regions over the "
+                        "source frame (video_display_qt_unit.h options)")
     p.add_argument("--trim_to", type=int, default=0,
                    help="process only the first N frames")
     p.add_argument("--downscale_min_size", type=int, default=0,
@@ -171,17 +175,26 @@ def main(argv=None):
         upscale_dims = (info.orig_width, info.orig_height)
         strip_raster = True
 
+    # Live display with a runtime hierarchy-level slider and source
+    # blending — the SegmentationDisplayUnit feature set
+    # (video_display_qt_unit.cpp:182-330) on cv2 HighGUI (no Qt in this
+    # environment; the reference's slider is a percentage too).
     display = None
+    display_level = [max(args.display, 0.0)]
     if args.display >= 0:
         import cv2
         try:
             cv2.namedWindow("seg_tree")
+            cv2.createTrackbar(
+                "level %", "seg_tree", int(display_level[0] * 100), 100,
+                lambda v: display_level.__setitem__(0, v / 100.0))
             display = cv2
         except cv2.error:
             print("display unavailable (headless); ignoring --display",
                   file=sys.stderr)
 
     current_hierarchy = [None]
+    display_frames: dict = {}   # frame_index -> source frame (display only)
 
     def consume_one(sf):
         nonlocal n_out
@@ -203,9 +216,13 @@ def main(argv=None):
                 lvl = su.absolute_level(hier, frac)
                 vw.write(render_util.render_segframe(sf, hier, lvl))
             if display is not None:
-                lvl = su.absolute_level(hier, max(args.display, 0.0))
-                display.imshow("seg_tree",
-                               render_util.render_segframe(sf, hier, lvl))
+                lvl = su.absolute_level(hier, display_level[0])
+                img = render_util.render_segframe(sf, hier, lvl)
+                src = display_frames.pop(sf.frame_index, None)
+                a = min(max(args.blend_alpha, 0.0), 1.0)
+                if src is not None and a < 1.0 and src.shape == img.shape:
+                    img = display.addWeighted(img, a, src, 1.0 - a, 0.0)
+                display.imshow("seg_tree", img)
                 display.waitKey(1)
         n_out += 1
         if n_out % 20 == 0:
@@ -227,6 +244,8 @@ def main(argv=None):
         for idx, frame, fl in ready:
             if region_stage is not None:
                 region_stage.add_frame(idx, frame, fl)
+            if display is not None:
+                display_frames[idx] = frame   # blended at display time
             out.append((frame, fl))
         return out
 
