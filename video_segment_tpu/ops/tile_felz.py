@@ -74,20 +74,41 @@ def _aggregate(labr, ohc_f, v):
     with label (a,b).  lhs[i,a,j] = v[i,j] masked to label row a; one dot
     batched over pixel rows i contracting j (Mosaic needs a single
     contracting dim), then a sum over i.  128-minor operands throughout."""
+    return _aggregate_many(labr, ohc_f, [v])[0]
+
+
+def _aggregate_many(labr, ohc_f, vs):
+    """Fused _aggregate of K value planes: ONE dot against the column
+    one-hot (its (8,128,128) read dominated per-round traffic when issued
+    per plane).  Each output row is the same contraction the single-plane
+    form computes, so results are identical."""
+    k = len(vs)
     a3 = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_H, TILE_W), 1)
-    lhs = jnp.where(labr[:, None, :] == a3, v[:, None, :], 0.0)
+    mask = labr[:, None, :] == a3                       # (i, a, j)
+    lhs = jnp.concatenate(
+        [jnp.where(mask, v[:, None, :], 0.0) for v in vs], axis=1)
     out = jax.lax.dot_general(lhs, ohc_f, (((2,), (1,)), ((0,), (0,))),
                               preferred_element_type=jnp.float32)
-    return jnp.sum(out, axis=0)
+    out = jnp.sum(out, axis=0)                          # (k*8, 128)
+    return [out[i * TILE_H:(i + 1) * TILE_H] for i in range(k)]
 
 
 def _distribute(labr, ohc_f, table):
     """Per-pixel value of its label: g[i,j] = table[labr[i,j], labc[i,j]].
     p[a,i,j] = table[a, labc[i,j]] via one dot against the column one-hot,
     then a masked sum over the 8 label rows."""
-    p = jax.lax.dot_general(table, ohc_f, (((1,), (2,)), ((), ())),
+    return _distribute_many(labr, ohc_f, [table])[0]
+
+
+def _distribute_many(labr, ohc_f, tables):
+    """Fused _distribute of K tables (one one-hot read)."""
+    k = len(tables)
+    stk = jnp.concatenate(tables, axis=0)               # (k*8, 128)
+    p = jax.lax.dot_general(stk, ohc_f, (((1,), (2,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    return jnp.sum(jnp.where(labr[None] == _row_iota3(), p, 0.0), axis=0)
+    p = p.reshape(k, TILE_H, TILE_H, TILE_W)            # (k, a, i, j)
+    mask = labr[None] == _row_iota3()
+    return [jnp.sum(jnp.where(mask, p[i], 0.0), axis=0) for i in range(k)]
 
 
 def _label_min(labr, ohc, v):
@@ -115,9 +136,9 @@ def _label_min_masked(labr, ohc, v):
 def _compose(pa, pb):
     """One pointer-jump of the (row,col) parent tables: P <- P[P]."""
     ohc_f = _onehot_cols(pb).astype(jnp.float32)
-    pa2 = _distribute(pa, ohc_f, pa.astype(jnp.float32)).astype(jnp.int32)
-    pb2 = _distribute(pa, ohc_f, pb.astype(jnp.float32)).astype(jnp.int32)
-    return pa2, pb2
+    pa2, pb2 = _distribute_many(pa, ohc_f, [pa.astype(jnp.float32),
+                                            pb.astype(jnp.float32)])
+    return pa2.astype(jnp.int32), pb2.astype(jnp.int32)
 
 
 def _dist(a, b, metric):
@@ -164,18 +185,21 @@ def _solve_subtile(color3, gy, gx, h, w, *, schedule, rounds_per_level,
     r_per = rounds_per_level
 
     def region_views(labr, ohc_f):
+        """Per-pixel region means (fused aggregate + distribute)."""
         ones = jnp.ones((TILE_H, TILE_W), jnp.float32)
-        size_t = _aggregate(labr, ohc_f, ones)
-        mean_t = [_aggregate(labr, ohc_f, ch) / jnp.maximum(size_t, 1.0)
-                  for ch in c]
-        mean_px = [_distribute(labr, ohc_f, m) for m in mean_t]
-        return mean_px
+        size_t, s0, s1, s2 = _aggregate_many(labr, ohc_f, [ones] + c)
+        den = jnp.maximum(size_t, 1.0)
+        return _distribute_many(labr, ohc_f, [s0 / den, s1 / den, s2 / den])
 
     def merge_round(labr, labc, fin_t, fin_x, theta, rnd):
         ohc = _onehot_cols(labc)
         ohc_f = ohc.astype(jnp.float32)
-        mean_px = region_views(labr, ohc_f)
-        fin_px = _distribute(labr, ohc_f, fin_t)   # f32 finalize level
+        ones = jnp.ones((TILE_H, TILE_W), jnp.float32)
+        size_t, s0, s1, s2 = _aggregate_many(labr, ohc_f, [ones] + c)
+        den = jnp.maximum(size_t, 1.0)
+        mean_px0 = _distribute_many(labr, ohc_f,
+                                    [s0 / den, s1 / den, s2 / den, fin_t])
+        mean_px, fin_px = mean_px0[:3], mean_px0[3]   # f32 finalize level
         lab_flat = labr * TILE_W + labc
         best = jnp.full((TILE_H, TILE_W), _BIG, jnp.int32)
         for k, (dy, dx) in enumerate(DIRS):
@@ -202,10 +226,8 @@ def _solve_subtile(color3, gy, gx, h, w, *, schedule, rounds_per_level,
         # Deeper chains leave stale labels that simply re-merge next round
         # (and the caller's final pointer_jump resolves any residue).
         pa, pb = _compose(pa, pb)
-        labr2 = _distribute(labr, ohc_f, pa.astype(jnp.float32)) \
-            .astype(jnp.int32)
-        labc = _distribute(labr, ohc_f, pb.astype(jnp.float32)) \
-            .astype(jnp.int32)
+        labr2, labc = (x.astype(jnp.int32) for x in _distribute_many(
+            labr, ohc_f, [pa.astype(jnp.float32), pb.astype(jnp.float32)]))
         return labr2, labc, fin_t, fin_x
 
     def level_end(labr, labc, fin_t, fin_x, theta, _rnd):
@@ -271,10 +293,9 @@ def _solve_subtile(color3, gy, gx, h, w, *, schedule, rounds_per_level,
         ohc_b = _onehot_cols(labc)
         ohc_f = ohc_b.astype(jnp.float32)
         finx2 = _label_min_masked(labr, ohc_b, finx)
-        nr = _distribute(labr, ohc_f, labr.astype(jnp.float32)) \
-            .astype(jnp.int32)
-        nc = _distribute(labr, ohc_f, labc.astype(jnp.float32)) \
-            .astype(jnp.int32)
+        nr, nc = (x.astype(jnp.int32) for x in _distribute_many(
+            labr, ohc_f, [labr.astype(jnp.float32),
+                          labc.astype(jnp.float32)]))
         chg = jnp.any((nr != labr) | (nc != labc))
         return nr, nc, finx2, chg
 
