@@ -105,3 +105,30 @@ def test_sharded_oversegment_matches_banded_single(rng, mesh8):
             jnp.asarray(vol[ci]),
             params=params._replace(bands=space)).label)
         np.testing.assert_array_equal(sharded[ci], single)
+
+
+def test_fused_multi_clip_solve_matches_per_clip(rng):
+    """fused_oversegment batches clips through ONE compiled program
+    (vmap over the clip axis); each clip's labels must equal the
+    single-clip solve."""
+    from video_segment_tpu.core import oversegmentation as ov
+
+    b, t, h, w = 3, 3, 16, 16
+    vol = np.zeros((b, t, h, w, 3), np.float32)
+    colors = rng.random((b, 3, 3)).astype(np.float32)
+    for ci in range(b):
+        vol[ci, :, :, : w // 2] = colors[ci, 0]
+        vol[ci, :, :, w // 2:] = colors[ci, 1]
+        vol[ci, :, h // 2 - 3:h // 2 + 3, 2:7] = colors[ci, 2]
+    flow = np.zeros((b, t - 1, h, w, 2), np.float32)
+
+    params = ov.OversegParams(min_region_size=1, table_divisor=2,
+                              preseg_schedule=(4,), edge_topk=8)
+    fused = np.asarray(pmesh.fused_oversegment(params)(
+        jnp.asarray(vol), jnp.asarray(flow)))
+    assert fused.shape == (b, t, h, w)
+    for ci in range(b):
+        single = np.asarray(ov.oversegment(
+            jnp.asarray(vol[ci]),
+            params=params._replace(edge_table=True)).label)
+        np.testing.assert_array_equal(fused[ci], single)

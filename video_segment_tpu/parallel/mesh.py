@@ -86,6 +86,41 @@ def sharded_presmooth(mesh: Mesh, mode: str = "bilateral", halo: int = 4):
     return jax.jit(fn)
 
 
+def _free_solve_one(params, has_flow):
+    """Per-clip unconstrained solve closure shared by the fused and
+    mesh-sharded multi-clip paths: (T,H,W,3) [+(T-1,H,W,2) flow] ->
+    (T,H,W) int32 labels via the edge-table solver."""
+    from video_segment_tpu.core import oversegmentation as ov
+
+    def solve_one(vol, flow):
+        t, h, w, _ = vol.shape
+        n = t * h * w
+        return ov._solve(vol, flow, jnp.arange(n, dtype=jnp.int32),
+                         jnp.full(n, -1, jnp.int32), jnp.zeros(n, bool),
+                         jnp.full(n, ov.NUM_BUCKETS, jnp.int32), params,
+                         has_flow, False).label
+
+    return solve_one
+
+
+def fused_oversegment(params=None, has_flow: bool = False):
+    """Single-device fused multi-clip over-segmentation: ONE compiled
+    program solves a whole batch of clips (vmap over the leading clip
+    axis), instead of serializing per-clip programs on the chip.
+
+    Returns fn(vols, flows) for vols (clips, T, H, W, 3) [flows
+    (clips, T-1, H, W, 2)] -> (clips, T, H, W) int32 labels, identical
+    per clip to the single-clip solve (vmap only batches; the math is
+    per-clip).  This is the device-side half of BASELINE config 5's
+    batch topology — host stages (RLE, histograms, proto emission) stay
+    per-clip and overlap via tools/batch_segment --concurrent; multi-chip
+    batch rides the mesh "data" axis (`sharded_oversegment`)."""
+    from video_segment_tpu.core import oversegmentation as ov
+
+    p = (params or ov.OversegParams())._replace(edge_table=True)
+    return jax.jit(jax.vmap(_free_solve_one(p, has_flow)))
+
+
 def sharded_oversegment(mesh: Mesh, params=None, has_flow: bool = False):
     """jit-ed over-segmentation with clips on "data" and the solver's
     row-band dimension on "space".
@@ -96,7 +131,6 @@ def sharded_oversegment(mesh: Mesh, params=None, has_flow: bool = False):
     single-device banded solve (the band decomposition, not the mesh,
     defines the math).
     """
-    import jax.numpy as jnp
     from jax.sharding import NamedSharding
 
     from video_segment_tpu.core import oversegmentation as ov
@@ -105,14 +139,7 @@ def sharded_oversegment(mesh: Mesh, params=None, has_flow: bool = False):
     p = (params or ov.OversegParams())._replace(
         bands=axes["space"], bands_vmap=True, edge_table=True)
 
-    def solve_one(vol, flow):
-        t, h, w, _ = vol.shape
-        n = t * h * w
-        return ov._solve(vol, flow, jnp.arange(n, dtype=jnp.int32),
-                         jnp.full(n, -1, jnp.int32), jnp.zeros(n, bool),
-                         jnp.full(n, ov.NUM_BUCKETS, jnp.int32), p,
-                         has_flow, False).label
-
+    solve_one = _free_solve_one(p, has_flow)
     vspec = NamedSharding(mesh, P("data", None, "space", None, None))
     return jax.jit(jax.vmap(solve_one),
                    in_shardings=(vspec, vspec),

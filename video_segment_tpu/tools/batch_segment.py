@@ -10,6 +10,11 @@ Two modes:
   chip never idles on host work.  This is the batch-serving topology for
   one chip; multi-chip batch rides the mesh "data" axis instead
   (parallel.mesh).
+
+For fusing clips into ONE device program (vmap over the clip axis,
+rather than interleaving per-clip programs), the building block is
+`parallel.mesh.fused_oversegment`; wiring it through the dense chunk
+loop end-to-end is tracked in ROADMAP.md.
 """
 
 from __future__ import annotations
