@@ -117,3 +117,58 @@ def test_tvl1_vs_farneback_on_real_video():
         f"ours {warp_mad(ours):.2f} vs farneback {warp_mad(fb):.2f}"
     epe = np.hypot(ours[..., 0] - fb[..., 0], ours[..., 1] - fb[..., 1])
     assert np.median(epe) < 0.8, f"median EPE vs farneback {np.median(epe)}"
+
+
+def test_flow_engine_forward_and_both(tmp_path, rng):
+    """FORWARD/BOTH modes (flow_reader.cpp:277-303): forward = flow(prev ->
+    cur), backward = flow(cur -> prev); BOTH caches forward then backward
+    per frame and round-trips through the .flow file."""
+    frames = [(rng.random((32, 40, 3)) * 255).astype(np.uint8)
+              for _ in range(3)]
+    params = flow_mod.TVL1Params(nscales=2, iterations=20, warps=2)
+
+    path = str(tmp_path / "vid_both.flow")
+    eng = flow_mod.FlowEngine(40, 32, cache_path=path, params=params,
+                              flow_type=flow_mod.FLOW_BOTH)
+    outs = [eng.compute(f, i) for i, f in enumerate(frames)]
+    eng.close()
+    assert outs[0] is None
+    assert isinstance(outs[1], flow_mod.FlowPair)
+    assert outs[1].forward.shape == (32, 40, 2)
+    assert outs[1].backward.shape == (32, 40, 2)
+
+    # Forward flow equals the swapped-argument solve of the backward one.
+    ref_fwd = np.asarray(flow_mod.tvl1_flow(
+        jnp.asarray(flow_mod.bgr_to_gray(frames[0])),
+        jnp.asarray(flow_mod.bgr_to_gray(frames[1])), params))
+    np.testing.assert_allclose(outs[1].forward, ref_fwd, atol=1e-5)
+
+    # Cache reload: header carries BOTH; per-frame order forward, backward.
+    eng2 = flow_mod.FlowEngine(40, 32, cache_path=path)
+    assert eng2.flow_type == flow_mod.FLOW_BOTH
+    cached = [eng2.compute(f, i) for i, f in enumerate(frames)]
+    eng2.close()
+    np.testing.assert_allclose(cached[1].forward, outs[1].forward, rtol=1e-6)
+    np.testing.assert_allclose(cached[1].backward, outs[1].backward,
+                               rtol=1e-6)
+
+    # Batched push path agrees with compute (FORWARD-only engine).
+    eng3 = flow_mod.FlowEngine(40, 32, flow_type=flow_mod.FLOW_FORWARD,
+                               params=params, batch=2)
+    trips = []
+    for i, f in enumerate(frames):
+        trips.extend(eng3.push(f, i))
+    trips.extend(eng3.flush())
+    assert trips[1][2].backward is None
+    np.testing.assert_allclose(trips[1][2].forward, outs[1].forward,
+                               atol=1e-4)
+
+
+def test_flow_to_hsv_bgr():
+    flow = np.zeros((4, 6, 2), np.float32)
+    flow[..., 0] = 5.0  # rightward, magnitude 5 -> sat/val 100
+    img = flow_mod.flow_to_hsv_bgr(flow)
+    assert img.shape == (4, 6, 3) and img.dtype == np.uint8
+    assert img.std(axis=(0, 1)).max() == 0  # uniform field, uniform color
+    zero = flow_mod.flow_to_hsv_bgr(np.zeros((4, 6, 2), np.float32))
+    assert zero.max() == 0  # zero magnitude renders black

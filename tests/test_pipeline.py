@@ -61,3 +61,76 @@ def test_pipeline_error_propagates():
     p = pl.Pipeline([pl.Stage("boom", boom)])
     with pytest.raises(ValueError, match="boom"):
         list(p.run(range(10)))
+
+
+def test_midchain_error_unblocks_producers():
+    """A raising stage must not deadlock upstream producers blocked on its
+    (bounded, now-undrained) input queue: run() re-raises promptly."""
+
+    def fast(x):
+        return [x]
+
+    def boom(x):
+        raise RuntimeError("midchain")
+
+    p = pl.Pipeline([pl.Stage("fast", fast), pl.Stage("boom", boom)],
+                    queue_size=2)
+    t0 = time.monotonic()
+    with pytest.raises(RuntimeError, match="midchain"):
+        list(p.run(range(10_000)))
+    assert time.monotonic() - t0 < 5.0
+    # every thread must have unwound (nothing left wedged on a full queue)
+    for t in p._threads:
+        t.join(timeout=2.0)
+        assert not t.is_alive()
+
+
+def test_source_error_propagates():
+    def bad_source():
+        yield 1
+        raise OSError("decode failed")
+
+    p = pl.Pipeline([pl.Stage("id", lambda x: [x])])
+    with pytest.raises(OSError, match="decode failed"):
+        list(p.run(bad_source()))
+
+
+def test_rate_policy_max_rate_caps_source():
+    """max_rate paces the feeder (reference video_unit.cpp:389-409)."""
+    p = pl.Pipeline([pl.Stage("id", lambda x: [x])],
+                    rate_policy=pl.RatePolicy(max_rate=50.0))
+    t0 = time.monotonic()
+    out = list(p.run(range(10)))
+    dt = time.monotonic() - t0
+    assert out == list(range(10))
+    assert dt >= 9 / 50.0  # 9 inter-frame gaps at 50 fps
+
+    # Unlimited (max_rate=0) runs much faster than the capped pipeline.
+    p2 = pl.Pipeline([pl.Stage("id", lambda x: [x])])
+    t0 = time.monotonic()
+    assert len(list(p2.run(range(10)))) == 10
+    assert time.monotonic() - t0 < 9 / 50.0
+
+
+def test_rate_policy_dynamic_throttles_on_queue_depth():
+    """Dynamic rate: deepest queue over threshold halves the rate per
+    num_throttle_frames of excess, floored at min_throttle_rate
+    (video_unit.cpp:427-447)."""
+    rp = pl.RatePolicy(dynamic_rate=True, dynamic_rate_scale=1.0,
+                       startup_frames=0, update_interval=0.0,
+                       queue_throttle_threshold=2, num_throttle_frames=1,
+                       min_throttle_rate=0.25)
+    p = pl.Pipeline([pl.Stage("id", lambda x: [x])], queue_size=8,
+                    rate_policy=rp)
+    p.queues = [__import__("queue").Queue(maxsize=8) for _ in range(2)]
+    p.stages[0].stats.record(0.01)  # measured stage rate: 100/s
+    for _ in range(4):  # depth 4 = threshold 2 + 2 excess -> scale 0.25
+        p.queues[0].put(object())
+    rate, _ = p._current_rate(fed=10, last_update=0.0)
+    assert rate == pytest.approx(100.0 * 0.25, rel=1e-6)
+
+    # Below threshold: no throttle, rate = min stage rate * scale.
+    while not p.queues[0].empty():
+        p.queues[0].get()
+    rate, _ = p._current_rate(fed=10, last_update=0.0)
+    assert rate == pytest.approx(100.0, rel=1e-6)

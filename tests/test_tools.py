@@ -90,3 +90,48 @@ def test_viewer_contact_sheet(seg_pb, tmp_path):
     out = str(tmp_path / "sheet.png")
     assert viewer.main([f"--input={seg_pb}", f"--dump={out}"]) == 0
     assert os.path.exists(out)
+
+
+@pytest.fixture(scope="module")
+def tiny_video(tmp_path_factory):
+    import cv2
+    path = str(tmp_path_factory.mktemp("vid") / "tiny.avi")
+    vw = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), 10.0,
+                         (32, 24))
+    rng = np.random.default_rng(7)
+    base = (rng.random((24, 32, 3)) * 80 + 40).astype(np.uint8)
+    for f in range(6):
+        img = base.copy()
+        img[6:18, 4 + 2 * f:16 + 2 * f] = (220, 180, 90)
+        vw.write(img)
+    vw.release()
+    return path
+
+
+def test_seg_tree_cli_flow_both(tiny_video, tmp_path):
+    """End-to-end flagship CLI: --flow_type both computes + caches both
+    directions, rate-policy flags parse, and the .pb stream verifies."""
+    from video_segment_tpu.core import flow as flow_mod
+    from video_segment_tpu.tools import seg_tree
+
+    out = str(tmp_path / "tiny.pb")
+    rc = seg_tree.main([
+        "--input_file", tiny_video, "--flow", "--flow_type", "both",
+        "--save_flow", "--over_segment", "--write_to_file",
+        "--output_file", out, "--chunk_size", "4",
+        "--max_rate", "0", "--no-dynamic_rate"])
+    assert rc in (0, None)
+    assert os.path.exists(out)
+
+    r = seg_io.SegmentationReader(out)
+    assert r.open_and_read_headers()
+    assert len(r.frame_offsets) == 6
+
+    # The .flow cache advertises BOTH and holds 2 fields per flow frame.
+    cache = flow_mod.FlowCacheReader(tiny_video + ".flow")
+    assert cache.flow_type == flow_mod.FLOW_BOTH
+    n = 0
+    while cache.read() is not None:
+        n += 1
+    cache.close()
+    assert n == 2 * 5  # forward + backward for frames 1..5

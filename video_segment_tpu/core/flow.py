@@ -220,6 +220,30 @@ FLOW_BACKWARD = 1
 FLOW_BOTH = 2
 
 
+class FlowPair(NamedTuple):
+    """Per-frame flow fields when flow_type != FLOW_BACKWARD
+    (flow_reader.cpp:277-303: forward = calc(prev, cur), backward =
+    calc(cur, prev), both attached to the current frame)."""
+
+    forward: np.ndarray | None
+    backward: np.ndarray | None
+
+
+def flow_to_hsv_bgr(flow: np.ndarray) -> np.ndarray:
+    """Render a flow field as a BGR image: hue from flow angle, saturation
+    and value from magnitude (flow_reader.cpp:306-330 formula exactly:
+    H=(atan2(y,x)/pi+1)*90, S=V=min(|f|*20, 255))."""
+    import cv2
+
+    x, y = flow[..., 0], flow[..., 1]
+    hsv = np.empty((*x.shape, 3), np.uint8)
+    hsv[..., 0] = ((np.arctan2(y, x) / np.pi + 1.0) * 90.0).astype(np.uint8)
+    mag = np.minimum(np.hypot(x, y) * 20.0, 255.0).astype(np.uint8)
+    hsv[..., 1] = mag
+    hsv[..., 2] = mag
+    return cv2.cvtColor(hsv, cv2.COLOR_HSV2BGR)
+
+
 class FlowCacheWriter:
     """Reference-compatible .flow file writer (flow_reader.cpp:239-249)."""
 
@@ -256,8 +280,15 @@ class FlowCacheReader:
 
 
 class FlowEngine:
-    """Streaming backward-flow provider with transparent .flow caching
+    """Streaming flow provider with transparent .flow caching
     (seg_tree.cpp:120-126: reuse <input>.flow when present).
+
+    `flow_type` selects the reference's DenseFlowOptions.flow_type
+    (flow_reader.h:145-151): BACKWARD (default — what segmentation
+    consumes; triples carry a plain (H,W,2) array), FORWARD or BOTH
+    (triples carry a `FlowPair`).  For BOTH the `.flow` cache stores
+    forward then backward per frame, matching the reference reader's
+    "first forward then backward" stream order (flow_reader.h:103).
 
     Two usage styles:
     - `compute(frame, idx)` — synchronous per-frame (one device call each).
@@ -267,9 +298,11 @@ class FlowEngine:
     """
 
     def __init__(self, width: int, height: int, cache_path: str | None = None,
-                 params: TVL1Params = TVL1Params(), batch: int = 6):
+                 params: TVL1Params = TVL1Params(), batch: int = 6,
+                 flow_type: int = FLOW_BACKWARD):
         self.params = params
         self.batch = max(batch, 1)
+        self.flow_type = flow_type
         self._pending: list[tuple[int, np.ndarray, np.ndarray]] = []
         self._prev_gray: np.ndarray | None = None
         self._reader = None
@@ -279,31 +312,58 @@ class FlowEngine:
                 r = FlowCacheReader(cache_path)
                 if (r.width, r.height) == (width, height):
                     self._reader = r
+                    self.flow_type = r.flow_type
                 else:
                     r.close()
             except (OSError, struct.error):
                 pass  # corrupt/truncated cache: recompute
         elif cache_path:
             try:
-                self._writer = FlowCacheWriter(cache_path, width, height)
+                self._writer = FlowCacheWriter(cache_path, width, height,
+                                               flow_type)
             except OSError:
                 self._writer = None  # unwritable location: just recompute
 
+    def _wrap(self, fwd: np.ndarray | None,
+              bwd: np.ndarray | None) -> np.ndarray | FlowPair | None:
+        if self.flow_type == FLOW_BACKWARD:
+            return bwd
+        return FlowPair(fwd, bwd)
+
+    def _read_cached(self) -> np.ndarray | FlowPair | None:
+        fwd = (self._reader.read()
+               if self.flow_type in (FLOW_FORWARD, FLOW_BOTH) else None)
+        bwd = (self._reader.read()
+               if self.flow_type in (FLOW_BACKWARD, FLOW_BOTH) else None)
+        return self._wrap(fwd, bwd)
+
+    def _write_cached(self, fwd, bwd):
+        if self._writer is None:
+            return
+        if self.flow_type in (FLOW_FORWARD, FLOW_BOTH):
+            self._writer.write(fwd)
+        if self.flow_type in (FLOW_BACKWARD, FLOW_BOTH):
+            self._writer.write(bwd)
+
     def compute(self, frame_bgr_u8: np.ndarray,
-                frame_index: int) -> np.ndarray | None:
-        """Backward flow for this frame (None for the first)."""
+                frame_index: int) -> np.ndarray | FlowPair | None:
+        """Flow for this frame (None for the first)."""
         if self._reader is not None:
             if frame_index == 0:
                 return None
-            return self._reader.read()
+            return self._read_cached()
         gray = bgr_to_gray(frame_bgr_u8)
         flow = None
         if self._prev_gray is not None:
-            flow = np.asarray(tvl1_flow(jnp.asarray(gray),
-                                        jnp.asarray(self._prev_gray),
-                                        self.params))
-            if self._writer is not None:
-                self._writer.write(flow)
+            cur = jnp.asarray(gray)
+            prev = jnp.asarray(self._prev_gray)
+            fwd = bwd = None
+            if self.flow_type in (FLOW_FORWARD, FLOW_BOTH):
+                fwd = np.asarray(tvl1_flow(prev, cur, self.params))
+            if self.flow_type in (FLOW_BACKWARD, FLOW_BOTH):
+                bwd = np.asarray(tvl1_flow(cur, prev, self.params))
+            self._write_cached(fwd, bwd)
+            flow = self._wrap(fwd, bwd)
         self._prev_gray = gray
         return flow
 
@@ -314,7 +374,7 @@ class FlowEngine:
                                              np.ndarray | None]]:
         """Buffer a frame; return completed (idx, frame, flow) triples."""
         if self._reader is not None:
-            fl = None if frame_index == 0 else self._reader.read()
+            fl = None if frame_index == 0 else self._read_cached()
             return [(frame_index, frame_bgr_u8, fl)]
         self._pending.append((frame_index, frame_bgr_u8,
                               bgr_to_gray(frame_bgr_u8)))
@@ -343,15 +403,19 @@ class FlowEngine:
         # Pad to the canonical batch shape so the device program compiles
         # once; padded pairs repeat the last pair and are discarded.
         n_pad = self.batch - n_real if pad_to_batch else 0
-        i1s = np.stack(prevs + [prevs[-1]] * n_pad)
-        i0s = np.stack(grays + [grays[-1]] * n_pad)
-        flows = np.asarray(tvl1_flow_batch(jnp.asarray(i0s), jnp.asarray(i1s),
-                                           self.params))[:n_real]
+        prevs_a = jnp.asarray(np.stack(prevs + [prevs[-1]] * n_pad))
+        curs_a = jnp.asarray(np.stack(grays + [grays[-1]] * n_pad))
+        fwds = bwds = [None] * n_real
+        if self.flow_type in (FLOW_BACKWARD, FLOW_BOTH):
+            bwds = np.asarray(tvl1_flow_batch(curs_a, prevs_a,
+                                              self.params))[:n_real]
+        if self.flow_type in (FLOW_FORWARD, FLOW_BOTH):
+            fwds = np.asarray(tvl1_flow_batch(prevs_a, curs_a,
+                                              self.params))[:n_real]
         out = []
-        for (idx, frame, gray), fl in zip(self._pending, flows):
-            if self._writer is not None:
-                self._writer.write(fl)
-            out.append((idx, frame, fl))
+        for (idx, frame, gray), fw, bw in zip(self._pending, fwds, bwds):
+            self._write_cached(fw, bw)
+            out.append((idx, frame, self._wrap(fw, bw)))
         self._prev_gray = grays[-1]
         self._pending.clear()
         return out

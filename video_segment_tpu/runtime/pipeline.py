@@ -6,22 +6,59 @@ stages, each running on its own thread, joined by bounded producer/consumer
 queues.  Backpressure is structural — a full queue blocks the producer
 (the reference instead throttles the root's frame rate against queue depth,
 video_unit.cpp:411-454; with a blocking bounded queue the effect is the
-same and needs no tuning).
+same in steady state).  The reference's tunable rate control exists on top
+of that as `RatePolicy` (video_unit.h:309-340): a source fps cap plus a
+dynamic feedback loop that tracks the slowest stage and throttles against
+queue depth — see `Pipeline(rate_policy=...)`.
 
 Telemetry mirrors VideoUnit's measurement scheme: per-stage processing time
 over a sliding window (video_unit.cpp:348-387) exposed as rates, plus live
 queue depths (VideoPipelineStats, video_pipeline.cpp:184-277).
+
+Failure semantics: the first stage exception aborts the whole pipeline —
+every blocked put/get wakes up via a shared abort flag, `run()` re-raises
+the original error promptly, and no thread is left wedged on a full queue
+(the reference simply CHECK-fails the process; we unwind cleanly instead).
 """
 
 from __future__ import annotations
 
 import collections
+import dataclasses
 import queue
 import threading
 import time
 from typing import Any, Callable, Iterable, Iterator
 
 _SENTINEL = object()
+_POLL = 0.05  # abort-check period for blocked queue ops (seconds)
+
+
+class _Aborted(Exception):
+    """Internal: a blocked queue op observed the pipeline abort flag."""
+
+
+@dataclasses.dataclass
+class RatePolicy:
+    """Source-side rate control (reference video_unit.h:309-340).
+
+    max_rate caps the source feed rate in fps (0 = unlimited).  With
+    dynamic_rate, after `startup_frames` frames and every `update_interval`
+    seconds the cap is re-derived from the slowest stage's measured rate
+    times `dynamic_rate_scale`; if the deepest queue exceeds
+    `queue_throttle_threshold`, the rate is halved for every
+    `num_throttle_frames` of excess (video_unit.cpp:427-447), floored at
+    `min_throttle_rate` of the base rate to avoid stalling.
+    """
+
+    max_rate: float = 0.0
+    dynamic_rate: bool = False
+    dynamic_rate_scale: float = 1.0
+    startup_frames: int = 0
+    update_interval: float = 0.0
+    queue_throttle_threshold: int = 8
+    num_throttle_frames: int = 4
+    min_throttle_rate: float = 0.2
 
 
 class StageStats:
@@ -65,17 +102,46 @@ class Pipeline:
     """stages[0] consumes the source iterator; outputs of the last stage
     are yielded from run()."""
 
-    def __init__(self, stages: list[Stage], queue_size: int = 10):
+    def __init__(self, stages: list[Stage], queue_size: int = 10,
+                 rate_policy: RatePolicy | None = None):
         self.stages = stages
         self.queue_size = queue_size
+        self.rate_policy = rate_policy or RatePolicy()
         self.queues: list[queue.Queue] = []
         self._threads: list[threading.Thread] = []
         self._error: BaseException | None = None
+        self._abort = threading.Event()
 
+    # -- abort-aware bounded queue ops ------------------------------------
+    def _put(self, q: queue.Queue, item):
+        while True:
+            if self._abort.is_set():
+                raise _Aborted
+            try:
+                q.put(item, timeout=_POLL)
+                return
+            except queue.Full:
+                continue
+
+    def _get(self, q: queue.Queue):
+        while True:
+            if self._abort.is_set():
+                raise _Aborted
+            try:
+                return q.get(timeout=_POLL)
+            except queue.Empty:
+                continue
+
+    def _fail(self, e: BaseException):
+        if self._error is None:
+            self._error = e
+        self._abort.set()
+
+    # -- workers -----------------------------------------------------------
     def _worker(self, stage: Stage, q_in: queue.Queue, q_out: queue.Queue):
         try:
             while True:
-                item = q_in.get()
+                item = self._get(q_in)
                 if item is _SENTINEL:
                     break
                 t0 = time.monotonic()
@@ -83,18 +149,66 @@ class Pipeline:
                 stage.stats.record(time.monotonic() - t0)
                 if out is not None:
                     for o in out:
-                        q_out.put(o)
+                        self._put(q_out, o)
             if stage.flush is not None:
                 t0 = time.monotonic()
                 out = stage.flush()
                 stage.stats.record(time.monotonic() - t0)
                 if out is not None:
                     for o in out:
-                        q_out.put(o)
+                        self._put(q_out, o)
+            self._put(q_out, _SENTINEL)
+        except _Aborted:
+            pass
         except BaseException as e:  # propagate to run()
-            self._error = e
-        finally:
-            q_out.put(_SENTINEL)
+            self._fail(e)
+
+    def _current_rate(self, fed: int, last_update: float) -> tuple[float,
+                                                                   float]:
+        """Dynamic-rate feedback (video_unit.cpp:411-454): slowest stage
+        rate x dynamic_rate_scale, throttled against the deepest queue."""
+        rp = self.rate_policy
+        now = time.monotonic()
+        if (fed < rp.startup_frames
+                or now - last_update < rp.update_interval):
+            return rp.max_rate, last_update
+        rates = [st.stats.rate for st in self.stages if st.stats.times]
+        if not rates:
+            return rp.max_rate, now
+        min_rate = min(rates)
+        max_queue = max(q.qsize() for q in self.queues)
+        scale = 1.0
+        if max_queue > rp.queue_throttle_threshold:
+            scale = 0.5 ** ((max_queue - rp.queue_throttle_threshold)
+                            / rp.num_throttle_frames)
+            scale = max(scale, rp.min_throttle_rate)
+        return min_rate * scale * rp.dynamic_rate_scale, now
+
+    def _feed(self, source: Iterable):
+        rp = self.rate_policy
+        rate = rp.max_rate
+        last_update = time.monotonic()
+        last_put = 0.0
+        fed = 0
+        try:
+            for item in source:
+                if rp.dynamic_rate:
+                    rate, last_update = self._current_rate(fed, last_update)
+                if rate and rate > 0:
+                    wait = last_put + 1.0 / rate - time.monotonic()
+                    while wait > 0:
+                        if self._abort.is_set():
+                            raise _Aborted
+                        time.sleep(min(wait, _POLL))
+                        wait = last_put + 1.0 / rate - time.monotonic()
+                last_put = time.monotonic()
+                self._put(self.queues[0], item)
+                fed += 1
+            self._put(self.queues[0], _SENTINEL)
+        except _Aborted:
+            pass
+        except BaseException as e:
+            self._fail(e)
 
     def run(self, source: Iterable) -> Iterator:
         n = len(self.stages)
@@ -108,22 +222,24 @@ class Pipeline:
             t.start()
             self._threads.append(t)
 
-        def feed():
-            try:
-                for item in source:
-                    self.queues[0].put(item)
-            finally:
-                self.queues[0].put(_SENTINEL)
-
-        feeder = threading.Thread(target=feed, name="source", daemon=True)
+        feeder = threading.Thread(target=self._feed, args=(source,),
+                                  name="source", daemon=True)
         feeder.start()
 
         q_last = self.queues[-1]
-        while True:
-            item = q_last.get()
-            if item is _SENTINEL:
-                break
-            yield item
+        try:
+            while True:
+                item = self._get(q_last)
+                if item is _SENTINEL:
+                    break
+                yield item
+        except _Aborted:
+            pass
+        except GeneratorExit:
+            # Consumer abandoned the generator: wake every blocked thread
+            # so nothing is left wedged on a full queue.
+            self._abort.set()
+            raise
         feeder.join()
         for t in self._threads:
             t.join()

@@ -20,6 +20,14 @@ def build_arg_parser():
                    help="input video file or CAMERA")
     p.add_argument("--flow", action=argparse.BooleanOptionalAction,
                    default=True, help="use dense optical flow")
+    p.add_argument("--flow_type", choices=["backward", "forward", "both"],
+                   default="backward",
+                   help="flow direction(s) to compute (DenseFlowOptions."
+                        "flow_type, flow_reader.h:145); segmentation "
+                        "consumes the backward field")
+    p.add_argument("--display_flow", action="store_true",
+                   help="show HSV-rendered flow (hue=angle, sat/val="
+                        "magnitude; flow_reader.cpp:306-330)")
     p.add_argument("--over_segment", action="store_true",
                    help="over-segmentation only (no hierarchy stage)")
     p.add_argument("--write_to_file", action="store_true",
@@ -45,6 +53,13 @@ def build_arg_parser():
                    help="cache computed flow to <input>.flow")
     p.add_argument("--use_pipeline", action=argparse.BooleanOptionalAction,
                    default=True, help="overlap host stages in threads")
+    p.add_argument("--max_rate", type=float, default=20.0,
+                   help="source fps cap in pipeline mode (RatePolicy."
+                        "max_rate, seg_tree.cpp:345; 0 = unlimited)")
+    p.add_argument("--dynamic_rate", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="adapt the source rate to the slowest stage and "
+                        "throttle on queue depth (RatePolicy.dynamic_rate)")
     p.add_argument("--pipeline_status", action="store_true",
                    help="print per-stage rates")
     p.add_argument("--checkpoint_path", default="",
@@ -81,6 +96,9 @@ def main(argv=None):
           f"@ {info.fps:.2f} fps")
 
     flow_fn = None
+    flow_mod = None
+    if not args.flow:
+        args.display_flow = False  # seg_tree.cpp:96
     if args.flow:
         from video_segment_tpu.core import flow as flow_mod
         # Reuse <input>.flow transparently when present (seg_tree.cpp:120-126);
@@ -88,8 +106,11 @@ def main(argv=None):
         cache = args.input_file + ".flow"
         if not (args.save_flow or os.path.exists(cache)):
             cache = None
+        ftype = {"backward": flow_mod.FLOW_BACKWARD,
+                 "forward": flow_mod.FLOW_FORWARD,
+                 "both": flow_mod.FLOW_BOTH}[args.flow_type]
         flow_fn = flow_mod.FlowEngine(info.width, info.height,
-                                      cache_path=cache)
+                                      cache_path=cache, flow_type=ftype)
 
     # Deferred host tail overlaps post-solve host work with the next
     # chunk's device work; checkpointing needs the synchronous tail (saved
@@ -117,9 +138,9 @@ def main(argv=None):
         reader.seek(resume_from)
         if flow_fn is not None:
             # Skip cached flow records already consumed before the cut
-            # (the .flow file has one record per frame from frame 1 on).
+            # (the .flow file has one record set per frame from frame 1 on).
             for _ in range(max(resume_from - 1, 0)):
-                flow_fn._reader.read()
+                flow_fn._read_cached()
         print(f"resumed from {args.checkpoint_path} at frame {resume_from}")
 
     writer = None
@@ -239,14 +260,35 @@ def main(argv=None):
     t0 = time.time()
     n_out = 0
 
+    flow_display = None
+    if args.display_flow:
+        import cv2
+        try:
+            cv2.namedWindow("seg_tree flow")
+            flow_display = cv2
+        except cv2.error:
+            print("display unavailable (headless); ignoring --display_flow",
+                  file=sys.stderr)
+
     def _emit_flow(ready):
         out = []
         for idx, frame, fl in ready:
+            fwd, bwd = None, fl
+            if flow_mod is not None and isinstance(fl, flow_mod.FlowPair):
+                fwd, bwd = fl.forward, fl.backward
+            if flow_display is not None:
+                # Render forward flow if computed, else backward
+                # (flow_reader.cpp:277-305: render_flow priority).
+                rf = fwd if fwd is not None else bwd
+                if rf is not None:
+                    flow_display.imshow("seg_tree flow",
+                                        flow_mod.flow_to_hsv_bgr(rf))
+                    flow_display.waitKey(1)
             if region_stage is not None:
-                region_stage.add_frame(idx, frame, fl)
+                region_stage.add_frame(idx, frame, bwd)
             if display is not None:
                 display_frames[idx] = frame   # blended at display time
-            out.append((frame, fl))
+            out.append((frame, bwd))
         return out
 
     def flow_stage(item):
@@ -275,7 +317,16 @@ def main(argv=None):
             stages.append(pl.Stage(
                 "region", region_fn,
                 flush=lambda: region_stage.process_frames(True, [])))
-        pipe = pl.Pipeline(stages, queue_size=10)
+        # Reference pipeline-mode rate policy (seg_tree.cpp:339-351):
+        # 20 fps cap, dynamic updates every second after 10 frames,
+        # camera mode throttles earlier and undershoots the slowest stage.
+        use_camera = args.input_file == "CAMERA"
+        rp = pl.RatePolicy(
+            max_rate=args.max_rate, dynamic_rate=args.dynamic_rate,
+            dynamic_rate_scale=0.9 if use_camera else 1.1,
+            startup_frames=10, update_interval=1.0,
+            queue_throttle_threshold=3 if use_camera else 10)
+        pipe = pl.Pipeline(stages, queue_size=10, rate_policy=rp)
         printer = (pl.StatusPrinter(pipe) if args.pipeline_status
                    else None)
         try:
