@@ -107,6 +107,85 @@ def test_sharded_oversegment_matches_banded_single(rng, mesh8):
         np.testing.assert_array_equal(sharded[ci], single)
 
 
+def _synthetic_clip(rng, t, h, w):
+    """Moving-square clip with well-separated colors."""
+    vol = np.zeros((t, h, w, 3), np.float32)
+    vol[...] = (0.1, 0.2, 0.3)
+    for i in range(t):
+        y = 4 + i
+        vol[i, y:y + 8, 6:18] = (0.8, 0.7, 0.6)
+    vol += rng.normal(0, 0.002, vol.shape).astype(np.float32)
+    return np.clip(vol, 0.0, 1.0)
+
+
+def test_mesh_constrained_streaming_matches_single(rng, mesh8):
+    """The FULL streaming dense driver (constrained chunk solves with
+    frozen/init planes, global id continuity) on the mesh must emit
+    exactly the single-device result: chunk solves run through
+    parallel.mesh.sharded_chunk_solver with rows on "space"."""
+    from video_segment_tpu.core import dense
+    from video_segment_tpu.core.options import DenseSegmentationOptions
+
+    t, h, w = 10, 32, 32
+    clip = (_synthetic_clip(rng, t, h, w) * 255).astype(np.uint8)
+    space = dict(zip(mesh8.axis_names, mesh8.devices.shape))["space"]
+
+    def run(mesh):
+        opts = DenseSegmentationOptions(
+            chunk_size=4, enforce_spatial_connectedness=False,
+            solver_bands=0 if mesh is not None else space)
+        ds = dense.DenseSegmentation(opts, w, h, mesh=mesh)
+        out = []
+        for fr in clip:
+            out += ds.process_frame(False, fr)
+        out += ds.process_frame(True)
+        assert ds._chunk_id >= 2  # the constrained path actually ran
+        return out
+
+    ref = run(None)
+    got = run(mesh8)
+    assert len(got) == len(ref) == t
+    from video_segment_tpu.segment_util import util
+    for a, b in zip(ref, got):
+        ia = util.rasterize_ids(a.region_ids, a.interval_counts,
+                                np.stack([a.ys, a.lxs, a.rxs], 1), h, w)
+        ib = util.rasterize_ids(b.region_ids, b.interval_counts,
+                                np.stack([b.ys, b.lxs, b.rxs], 1), h, w)
+        np.testing.assert_array_equal(ia, ib)
+
+
+def test_sharded_agglomeration_matches(rng, mesh8):
+    """The region-stage agglomeration program accepts row-sharded
+    statistics tables (regions over the whole mesh) and produces the
+    single-device hierarchy exactly."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from video_segment_tpu.core import agglomeration
+
+    r, rcap, b = 24, 32, 16
+    hist = np.zeros((rcap, b), np.float32)
+    hist[np.arange(r), rng.integers(0, b, r)] = 100.0
+    hist[:r] += rng.random((r, b)).astype(np.float32)
+    sizes = np.zeros(rcap, np.float32)
+    sizes[:r] = rng.integers(50, 500, r).astype(np.float32)
+    edges = np.stack([np.arange(r - 1), np.arange(1, r)], axis=1)
+    fh = np.zeros((0, rcap, 4), np.float32)
+    fc = np.zeros((0, rcap), np.float32)
+
+    plain = agglomeration.agglomerate(hist, fh, fc, sizes, edges, r,
+                                      use_flow=False)
+    all_axes = P(("data", "space"))
+    sh = NamedSharding(mesh8, P(("data", "space"), None))
+    sharded = agglomeration.agglomerate(
+        jax.device_put(jnp.asarray(hist), sh), fh, fc,
+        jax.device_put(jnp.asarray(sizes), NamedSharding(mesh8, all_axes)),
+        edges, r, use_flow=False)
+    assert len(plain) == len(sharded) > 0
+    for a, b2 in zip(plain, sharded):
+        np.testing.assert_array_equal(a, b2)
+
+
 def test_fused_multi_clip_solve_matches_per_clip(rng):
     """fused_oversegment batches clips through ONE compiled program
     (vmap over the clip axis); each clip's labels must equal the

@@ -88,11 +88,22 @@ class DenseSegmentation:
 
     def __init__(self, options: DenseSegmentationOptions, frame_width: int,
                  frame_height: int,
-                 solver_params: ov.OversegParams | None = None):
+                 solver_params: ov.OversegParams | None = None,
+                 mesh=None):
         if options.chunk_size < 3:
             raise ValueError("chunk_size needs to be at least 3 frames")
         options = dataclasses.replace(options)
         base = solver_params or ov.OversegParams()
+        # Multi-chip: shard the per-chunk solve's row-band dimension over
+        # the mesh "space" axis (parallel.mesh.sharded_chunk_solver) — the
+        # band count then equals the space axis size and bands run vmapped
+        # (all resident, one per device) instead of sequentially.
+        self._mesh = mesh
+        self._solver_cache = {}
+        mesh_bands = 0
+        if mesh is not None:
+            mesh_bands = dict(zip(mesh.axis_names,
+                                  mesh.devices.shape))["space"]
         # Large-resolution chunks: split the solve's pixel phases into
         # spatial row bands (bounding peak memory to one band) instead of
         # shrinking the chunk below the reference's 20-frame geometry
@@ -102,7 +113,20 @@ class DenseSegmentation:
         self._pad_rows = 0
         t_solve_full = options.chunk_size + 1
         chunk_vox = t_solve_full * frame_width * frame_height
-        if base.edge_table and chunk_vox > options.max_solve_voxels:
+        forced_bands = mesh_bands or options.solver_bands
+        if forced_bands > 1:
+            units = -(-frame_height // 8)
+            u = -(-units // forced_bands)
+            self._bands = forced_bands
+            self._pad_rows = forced_bands * u * 8 - frame_height
+            if (base.edge_table and chunk_vox // forced_bands
+                    > options.max_solve_voxels):
+                raise ValueError(
+                    f"{forced_bands} bands leave per-band pixel phases over "
+                    f"max_solve_voxels ({chunk_vox // forced_bands} > "
+                    f"{options.max_solve_voxels}); use more devices or a "
+                    f"smaller chunk_size")
+        elif base.edge_table and chunk_vox > options.max_solve_voxels:
             unit_vox = 8 * frame_width * t_solve_full
             u_max = max(1, options.max_solve_voxels // unit_vox)
             units = -(-frame_height // 8)
@@ -136,6 +160,7 @@ class DenseSegmentation:
             metric=options.color_distance,
             two_stage=options.two_stage_oversegment,
             bands=self._bands,
+            bands_vmap=base.bands_vmap or mesh is not None,
             force_merge_weight=0.002 if options.color_distance == "l1"
             else 0.001)
         self._preseg_mode = options.preseg_mode
@@ -416,12 +441,18 @@ class DenseSegmentation:
                     table_slots=min(slots, t_solve * hp * w))
 
         t_solve0 = time.monotonic()
-        res = ov.oversegment(vol, flow=flow, constraints=constraints,
-                             init_label=init_label, frozen=frozen,
-                             fin=tile_fin, params=params,
-                             cell_stats=tile_stats,
-                             head_planes=(1 + self.constraint_frames
-                                          if self._overlap_gids else 0))
+        head_planes = (1 + self.constraint_frames if self._overlap_gids
+                       else 0)
+        if self._mesh is not None:
+            res = self._solve_on_mesh(vol, flow, constraints, init_label,
+                                      frozen, tile_fin, params, tile_stats,
+                                      head_planes, t_solve, hp, w)
+        else:
+            res = ov.oversegment(vol, flow=flow, constraints=constraints,
+                                 init_label=init_label, frozen=frozen,
+                                 fin=tile_fin, params=params,
+                                 cell_stats=tile_stats,
+                                 head_planes=head_planes)
         if res.label16 is not None and int(np.asarray(res.nsink)) == 0:
             # Compressed label transport: uint16 slot volume + int32 LUT is
             # half the bytes of the int32 label volume on the remote link.
@@ -496,6 +527,50 @@ class DenseSegmentation:
             self._pending = None
             self._planes_ready = None
         return out
+
+    def _solve_on_mesh(self, vol, flow, constraints, init_label, frozen,
+                       tile_fin, params, tile_stats, head_planes: int,
+                       t_solve: int, hp: int, w: int):
+        """Dispatch the chunk solve through the mesh-sharded banded solver
+        (parallel.mesh.sharded_chunk_solver): rows sharded over "space",
+        all optional inputs materialized to their neutral volumes so the
+        compiled program set stays small."""
+        import jax.numpy as jnp
+
+        from video_segment_tpu.parallel import mesh as pmesh
+
+        shape3 = (t_solve, hp, w)
+        has_flow = flow is not None
+        has_constraints = constraints is not None
+        use_cells = tile_stats is not None
+        if init_label is None:
+            init_label = jnp.arange(t_solve * hp * w,
+                                    dtype=jnp.int32).reshape(shape3)
+        else:
+            init_label = init_label.reshape(shape3)
+        constr = (constraints.reshape(shape3) if has_constraints
+                  else jnp.full(shape3, -1, jnp.int32))
+        froz = (frozen.reshape(shape3) if frozen is not None
+                else jnp.zeros(shape3, bool))
+        if tile_fin is None:
+            fin = jnp.full(shape3, ov.NUM_BUCKETS, jnp.int32)
+        elif tile_fin.dtype == jnp.bool_:
+            fin = jnp.where(tile_fin.reshape(shape3), 0, ov.NUM_BUCKETS)
+        else:
+            fin = tile_fin.reshape(shape3).astype(jnp.int32)
+        cells = (tuple(x.reshape(shape3) for x in tile_stats) if use_cells
+                 else tuple(jnp.zeros(shape3, jnp.float32)
+                            for _ in range(4)))
+        fl = (flow if has_flow
+              else jnp.zeros((max(t_solve - 1, 0), hp, w, 2), jnp.float32))
+        key = (params, has_flow, has_constraints, head_planes, use_cells)
+        solver = self._solver_cache.get(key)
+        if solver is None:
+            solver = pmesh.sharded_chunk_solver(
+                self._mesh, params, has_flow, has_constraints, head_planes,
+                use_cells)
+            self._solver_cache[key] = solver
+        return solver(vol, fl, init_label, constr, froz, fin, cells)
 
     def _chunk_tail(self, ctx, planes_ready) -> list[SegFrame]:
         """Post-solve host tail: n4 enforcement, label compaction, spatial

@@ -40,6 +40,10 @@ class DenseSegmentationOptions:
     # shrinks to stay under it (the attached TPU worker crashes near 19M
     # voxels; smaller chunks trade seam frequency for functioning 720p+).
     max_solve_voxels: int = 8_000_000
+    # Explicit solver row-band count (0 = derive from max_solve_voxels).
+    # Used to pin a band decomposition, e.g. to compare a mesh-sharded run
+    # (bands == mesh "space" size) against a single-device control.
+    solver_bands: int = 0
     # Run the host post-solve tail (n4/connectedness/RLE/id assignment) on
     # a worker thread so the device starts the next chunk's preseg/solve
     # as soon as the tail has produced the overlap constraint planes.

@@ -636,22 +636,35 @@ def _pack_spec(nseg: int):
 
 
 def _extract_edges(memb3, vol, flow, nseg, sink, p, global_base: int = 0,
-                   tab=None, col0: int = 0, pack_domain: int | None = None):
+                   pack_domain: int | None = None):
     """One-time region-adjacency extraction from pixel space.
 
     For every stencil direction, aggregates the minimum-bucket pixel edge
-    per (region, direction) from both endpoint views via packed int32
-    segment-mins (bucket in the high bits, partner id in the low partner
-    bits — the same lexicographic (bucket, partner) tie-break the per-round
-    selection uses).  Returns packed (D, nseg) int32, _I32MAX where absent.
+    per (region, direction) via packed int32 segment-mins (bucket in the
+    high bits, partner id in the low partner bits — the same lexicographic
+    (bucket, partner) tie-break the per-round selection uses).  Returns
+    packed (D, nseg) int32, _I32MAX where absent: rows [0, n_dirs) hold
+    the FORWARD view (own region's min per direction), rows
+    [n_dirs, 2*n_dirs) the reverse view.
+
+    Only the forward view reduces over pixel space (one O(N) scatter per
+    direction — these scatters were the solve's single largest device
+    cost).  The reverse view derives in TABLE space by re-scattering each
+    forward column onto its partner slot: O(regions) per direction, ~30x
+    fewer scatter elements.  The derived view retains an edge only when it
+    won some region's forward per-direction min — the table is already a
+    per-(region, direction) min-filter, so the loss is confined to
+    reverse-side entries of non-minimal edges; any retained edge can be
+    proposed by either endpoint (merging unaffected) and flags both sides
+    at level end.
 
     `global_base` offsets packed partner ids (banded solves extract with
-    band-local segment keys but globally addressed partners).  `tab`/`col0`
-    let callers append into an existing wider table (boundary passes).
+    band-local segment keys but globally addressed partners).
     """
     t, h, w, _ = vol.shape
     bits, bshift = _pack_spec(pack_domain if pack_domain is not None
                               else nseg)
+    pmask = (1 << bits) - 1
     memb_flat = memb3.reshape(-1)
     n_dirs = len(SPATIAL_FWD) + (len(TEMPORAL_DIRS) if t > 1 else 0)
     d_cols = 2 * n_dirs
@@ -663,22 +676,30 @@ def _extract_edges(memb3, vol, flow, nseg, sink, p, global_base: int = 0,
         bkt = jnp.minimum(d.bucket, NUM_BUCKETS - 2) >> bshift
         pk_a = jnp.where(ok, (bkt << bits) | (d.nb_label + global_base),
                          _I32MAX)
-        pk_b = jnp.where(ok, (bkt << bits) | (memb3 + global_base), _I32MAX)
         e_a = jax.ops.segment_min(pk_a.reshape(-1), memb_flat,
                                   num_segments=nseg)
-        e_b = jax.ops.segment_min(pk_b.reshape(-1), d.nb_label.reshape(-1),
-                                  num_segments=nseg)
-        tb = jax.lax.dynamic_update_slice(tb, e_a[None], (col0 + 2 * k, 0))
-        tb = jax.lax.dynamic_update_slice(tb, e_b[None],
-                                          (col0 + 2 * k + 1, 0))
+        tb = jax.lax.dynamic_update_slice(tb, e_a[None], (k, 0))
         return tb, k + 1
 
-    if tab is None:
-        tab = jnp.full((d_cols, nseg), _I32MAX, jnp.int32)
+    tab = jnp.full((d_cols, nseg), _I32MAX, jnp.int32)
     tab, _ = _fold_dirs_raw(vol, memb3, flow, p.metric, SPATIAL_FWD, False,
                             fold, (tab, jnp.int32(0)),
                             pair_dist=_pair_dist_fn(p, vol.shape[-1]))
-    return tab
+
+    # Reverse view from the forward table: column k's entry at slot a,
+    # packed (bucket, partner b), re-scatters as (bucket, a) onto slot b.
+    fwd = tab[:n_dirs]
+    valid = fwd < _I32MAX
+    ploc = jnp.clip((fwd & pmask) - global_base, 0, nseg - 1)
+    own_g = jnp.arange(nseg, dtype=jnp.int32)[None] + global_base
+    rev_val = jnp.where(valid, ((fwd >> bits) << bits) | own_g, _I32MAX)
+    kidx = jnp.arange(n_dirs, dtype=jnp.int32)[:, None]
+    rev = jax.ops.segment_min(
+        rev_val.reshape(-1), (kidx * nseg + ploc).reshape(-1),
+        num_segments=n_dirs * nseg).reshape(n_dirs, nseg)
+    # The sink row never proposes: its forward row is empty by the `ok`
+    # mask, and reverse entries cannot target it (partners exclude sink).
+    return jax.lax.dynamic_update_slice(tab, rev, (n_dirs, 0))
 
 
 def _topk_edges(tab, k):
@@ -1308,14 +1329,17 @@ def _finish_table_solve(ts, tab, memb, orig_slot, init_label, shape3,
     if params.two_stage:
         # Spatial-only pre-pass over the whole schedule
         # (SegmentGraphSpatially, dense_segmentation_graph.h:406-416):
-        # the spatial directions occupy the first 8 extraction columns.
-        ptn_s, pbk_s = _topk_edges(tab[:2 * len(SPATIAL_FWD)],
-                                   params.edge_topk)
+        # spatial directions occupy extraction rows [0:4] (forward view)
+        # and [n_dirs:n_dirs+4] (reverse view).
+        nd = len(SPATIAL_FWD) + (len(TEMPORAL_DIRS) if t > 1 else 0)
+        sp = len(SPATIAL_FWD)
+        tab_sp = jnp.concatenate([tab[:sp], tab[nd:nd + sp]], axis=0)
+        ptn_s, pbk_s = _topk_edges(tab_sp, params.edge_topk)
 
         def level_body_s(l, ts):
             ts = run_rounds(ts, thetas[l], level_rounds[l],
                             jnp.int32(MODE_MERGE), ptn_s, pbk_s)
-            return _table_level_end(ts, tab[:2 * len(SPATIAL_FWD)],
+            return _table_level_end(ts, tab_sp,
                                     thetas[l], nseg0, nseg0 - 1, params)
 
         ts = jax.lax.fori_loop(0, thetas.shape[0], level_body_s, ts)
@@ -1461,17 +1485,9 @@ def _boundary_edges(vol, memb_g, B: int, bh: int, G: int,
     return jnp.stack(cols, axis=0)
 
 
-def _solve_banded(vol, fl, init_label, constr_init, frozen_init, fin_init,
-                  params: OversegParams, thetas, level_rounds,
-                  has_constraints, cell_stats=None, head_planes: int = 0):
-    """Row-banded pixel phases + global table phases (OversegParams.bands).
-
-    Each band runs seed compaction and edge extraction independently
-    (lax.map — one band resident at a time), with its table slots mapped
-    into a disjoint global range; a boundary pass restores cross-band
-    adjacency; the schedule/min-size/constraint phases then run on the
-    concatenated global table exactly as in the monolithic solve."""
-    t, h, w, nf = vol.shape
+def _banded_dims(t: int, h: int, w: int, params: OversegParams):
+    """Static band-decomposition geometry shared by the single-device and
+    mesh-sharded banded solvers: (B, bh, cap_b, nseg_b, G, nseg_g)."""
     B = params.bands
     if h % B or (h // B) % 8:
         raise ValueError(f"height {h} not divisible into {B} bands of "
@@ -1482,12 +1498,20 @@ def _solve_banded(vol, fl, init_label, constr_init, frozen_init, fin_init,
         max(n_band // params.table_divisor, 1 << 14), n_band)
     nseg_b = cap_b + 1
     G = B * cap_b
-    sink_g = G
     nseg_g = G + 1
     _pack_spec(nseg_g)  # validate packability
+    return B, bh, cap_b, nseg_b, G, nseg_g
+
+
+def _banded_split_inputs(vol, fl, init_label, constr_init, frozen_init,
+                         fin_init, params: OversegParams, cell_stats=None):
+    """Band-split every per-pixel solver input: (tt,h,w[,C]) ->
+    (B,tt,bh,w[,C]) with init labels localized to band-local voxel ids.
+    Returns the band_fn argument tuple."""
+    t, h, w, nf = vol.shape
+    B, bh, _, _, _, _ = _banded_dims(t, h, w, params)
 
     def band_split(x, ch=0):
-        """(tt,h,w[,C]) -> (B,tt,bh,w[,C])"""
         tt = x.shape[0]
         shape = (tt, B, bh, w) + ((ch,) if ch else ())
         perm = (1, 0, 2, 3, 4) if ch else (1, 0, 2, 3)
@@ -1496,8 +1520,7 @@ def _solve_banded(vol, fl, init_label, constr_init, frozen_init, fin_init,
     vol_b = band_split(vol, nf)
     fl_b = (band_split(fl, 2) if fl is not None else
             jnp.zeros((B, max(t - 1, 0), bh, w, 2), jnp.float32))
-    init3 = init_label.reshape(t, h, w)
-    init_bs = band_split(init3)
+    init_bs = band_split(init_label.reshape(t, h, w))
     # Localize init values (global voxel ids, in-band by construction) to
     # band-local voxel ids.
     band_of = jnp.arange(B, dtype=jnp.int32)[:, None, None, None]
@@ -1510,8 +1533,18 @@ def _solve_banded(vol, fl, init_label, constr_init, frozen_init, fin_init,
         cells_b = tuple(band_split(x.reshape(t, h, w)) for x in cell_stats)
     else:
         cells_b = tuple(jnp.zeros((B, 0)) for _ in range(4))
-    has_flow = fl is not None
-    use_cells = cell_stats is not None
+    return (vol_b, fl_b, init_local, constr_b, frozen_b, fin_b, cells_b,
+            jnp.arange(B, dtype=jnp.int32))
+
+
+def _make_band_fn(t: int, h: int, w: int, params: OversegParams,
+                  has_flow: bool, use_cells: bool, has_constraints: bool,
+                  head_planes: int):
+    """Per-band pixel phase (seed compaction + edge extraction) of the
+    banded solver — pure per-band function, mappable by lax.map / vmap on
+    one device or shard_map over the mesh "space" axis (each device then
+    runs only its own band; see parallel/mesh.py)."""
+    B, bh, cap_b, nseg_b, G, nseg_g = _banded_dims(t, h, w, params)
 
     def band_fn(args):
         vb, flb, il, cb, fb, finb, cls, bidx = args
@@ -1533,12 +1566,40 @@ def _solve_banded(vol, fl, init_label, constr_init, frozen_init, fin_init,
         return (ts_b.csum, ts_b.size, ts_b.constr, ts_b.fin, ts_b.frozen,
                 ts_b.sqsum, gs, memb_b, tab_b, orig_g)
 
-    mapper = jax.vmap(band_fn) if params.bands_vmap else \
-        functools.partial(jax.lax.map, band_fn)
+    return band_fn
+
+
+def _solve_banded(vol, fl, init_label, constr_init, frozen_init, fin_init,
+                  params: OversegParams, thetas, level_rounds,
+                  has_constraints, cell_stats=None, head_planes: int = 0,
+                  band_outputs=None):
+    """Row-banded pixel phases + global table phases (OversegParams.bands).
+
+    Each band runs seed compaction and edge extraction independently
+    (lax.map — one band resident at a time; vmap when bands_vmap), with
+    its table slots mapped into a disjoint global range; a boundary pass
+    restores cross-band adjacency; the schedule/min-size/constraint phases
+    then run on the concatenated global table exactly as in the monolithic
+    solve.  `band_outputs` lets a mesh caller (parallel/mesh.py) supply
+    the band phase's results computed under shard_map (one band per
+    device) — the global phases here are identical either way."""
+    t, h, w, nf = vol.shape
+    B, bh, cap_b, nseg_b, G, nseg_g = _banded_dims(t, h, w, params)
+    sink_g = G
+    has_flow = fl is not None
+
+    if band_outputs is None:
+        band_fn = _make_band_fn(t, h, w, params, has_flow,
+                                cell_stats is not None, has_constraints,
+                                head_planes)
+        args = _banded_split_inputs(vol, fl, init_label, constr_init,
+                                    frozen_init, fin_init, params,
+                                    cell_stats)
+        mapper = jax.vmap(band_fn) if params.bands_vmap else \
+            functools.partial(jax.lax.map, band_fn)
+        band_outputs = mapper(args)
     (csum_s, size_s, constr_s, fin_s, frozen_s, sqsum_s, gsum_s, memb_s,
-     tab_s, orig_s) = mapper(
-        (vol_b, fl_b, init_local, constr_b, frozen_b, fin_b, cells_b,
-         jnp.arange(B, dtype=jnp.int32)))
+     tab_s, orig_s) = band_outputs
 
     def glue(rows, sink_val, dtype=None):
         """(B, nseg_b, ...) per-band tables -> (G+1, ...) global."""

@@ -121,15 +121,96 @@ def fused_oversegment(params=None, has_flow: bool = False):
     return jax.jit(jax.vmap(_free_solve_one(p, has_flow)))
 
 
+def _solve_schedule(params):
+    """(thetas, level_rounds) int32 arrays for params.schedule — the same
+    construction core/oversegmentation._solve performs."""
+    import jax.numpy as jnp
+
+    thetas = jnp.asarray(params.schedule, jnp.int32)
+    lr = jnp.asarray(
+        [params.max_rounds_per_level] * (len(params.schedule) - 1)
+        + [params.max_final_rounds], jnp.int32)
+    return thetas, lr
+
+
+def sharded_chunk_solver(mesh: Mesh, params, has_flow: bool,
+                         has_constraints: bool, head_planes: int,
+                         use_cells: bool):
+    """jit-ed CONSTRAINED streaming chunk solve for one clip, with the
+    solver's row-band dimension sharded over the mesh "space" axis.
+
+    This is the multi-chip form of the driver's per-chunk solve
+    (core/dense.py:_segment_chunk): the O(pixels) band phase (seed
+    compaction + edge extraction) runs under shard_map — each device
+    executes exactly its own band's computation, locally and unpartitioned
+    — and the O(regions) global table phases run replicated on the
+    all-gathered band tables.  shard_map (not whole-program GSPMD
+    partitioning) is deliberate: the solver's scatter/segment-op bodies
+    must run with device-local semantics so the mesh result equals the
+    single-device banded solve bit-for-bit; auto-partitioning them invites
+    reassociation and partitioned-scatter divergence.  `params` must
+    already carry bands == space axis size (DenseSegmentation(mesh=...)
+    arranges this).
+
+    Returns fn(vol, flow, init, constr, frozen, fin, cells4) ->
+    OversegResult, CPU-mesh equality-tested against the single-device
+    banded solve (tests/test_parallel.py, __graft_entry__ dryrun).
+    """
+    from jax.sharding import NamedSharding
+
+    from video_segment_tpu.core import oversegmentation as ov
+
+    thetas, lr = _solve_schedule(params)
+    rep = NamedSharding(mesh, P())
+
+    def solve(vol, flow, init, constr, frozen, fin, cells):
+        if params.gradient_trait:
+            from video_segment_tpu.ops import pixel_distance as pd
+            vol = jnp.concatenate([vol, pd.gradient_features(vol)], axis=-1)
+        t, h, w, _ = vol.shape
+        n = t * h * w
+        init_f = init.reshape(n)
+        constr_f = constr.reshape(n)
+        frozen_f = frozen.reshape(n)
+        fin_f = fin.reshape(n)
+        cells_f = (tuple(c.reshape(n) for c in cells) if use_cells
+                   else None)
+        fl = flow if has_flow else None
+        band_fn = ov._make_band_fn(t, h, w, params, has_flow, use_cells,
+                                   has_constraints, head_planes)
+        args = ov._banded_split_inputs(vol, fl, init_f, constr_f, frozen_f,
+                                       fin_f, params, cells_f)
+        # check_vma off: band_fn is purely device-local (no collectives);
+        # its internal scan carries start as unvarying constants, which the
+        # varying-axes checker would otherwise reject.
+        shmapped = jax.shard_map(jax.vmap(band_fn), mesh=mesh,
+                                 in_specs=P("space"), out_specs=P("space"),
+                                 check_vma=False)
+        outs = jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, rep),
+            shmapped(args))
+        return ov._solve_banded(vol, fl, init_f, constr_f, frozen_f, fin_f,
+                                params, thetas, lr, has_constraints,
+                                cells_f, head_planes, band_outputs=outs)
+
+    return jax.jit(solve)
+
+
 def sharded_oversegment(mesh: Mesh, params=None, has_flow: bool = False):
     """jit-ed over-segmentation with clips on "data" and the solver's
     row-band dimension on "space".
 
+    Band phases run under shard_map over ("data", "space") — one clip-band
+    per device, device-local scatter semantics (see sharded_chunk_solver's
+    rationale) — then each clip's global table phases run vmapped with the
+    clip axis sharded over "data" (a pure batch dimension, safely
+    partitionable).
+
     Returns fn(vol, flow) for vol (clips, T, H, W, 3) [flow
-    (clips, T-1, H, W, 2)] -> (clips, T, H, W) int32 labels.  H must split
-    into `space` bands of 8-aligned height.  Labels are identical to the
-    single-device banded solve (the band decomposition, not the mesh,
-    defines the math).
+    (clips, T-1, H, W, 2)] -> (clips, T, H, W) int32 labels.  clips must
+    equal the "data" axis size; H must split into `space` bands of
+    8-aligned height.  Labels are identical to the single-device banded
+    solve (the band decomposition, not the mesh, defines the math).
     """
     from jax.sharding import NamedSharding
 
@@ -138,10 +219,42 @@ def sharded_oversegment(mesh: Mesh, params=None, has_flow: bool = False):
     axes = dict(zip(mesh.axis_names, mesh.devices.shape))
     p = (params or ov.OversegParams())._replace(
         bands=axes["space"], bands_vmap=True, edge_table=True)
+    thetas, lr = _solve_schedule(p)
+    dspec = NamedSharding(mesh, P("data"))
 
-    solve_one = _free_solve_one(p, has_flow)
-    vspec = NamedSharding(mesh, P("data", None, "space", None, None))
-    return jax.jit(jax.vmap(solve_one),
-                   in_shardings=(vspec, vspec),
-                   out_shardings=NamedSharding(
-                       mesh, P("data", None, "space", None)))
+    def solve(vols, flows):
+        if p.gradient_trait:
+            from video_segment_tpu.ops import pixel_distance as pd
+            vols = jnp.concatenate(
+                [vols, jax.vmap(pd.gradient_features)(vols)], axis=-1)
+        b, t, h, w, _ = vols.shape
+        n = t * h * w
+        band_fn = ov._make_band_fn(t, h, w, p, has_flow, False, False, 0)
+
+        def split_one(vol, flow):
+            return ov._banded_split_inputs(
+                vol, flow if has_flow else None,
+                jnp.arange(n, dtype=jnp.int32), jnp.full(n, -1, jnp.int32),
+                jnp.zeros(n, bool), jnp.full(n, ov.NUM_BUCKETS, jnp.int32),
+                p, None)
+
+        args = jax.vmap(split_one)(vols, flows)   # (b, B, ...) leaves
+        shmapped = jax.shard_map(jax.vmap(jax.vmap(band_fn)), mesh=mesh,
+                                 in_specs=P("data", "space"),
+                                 out_specs=P("data", "space"),
+                                 check_vma=False)
+        outs = jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(x, dspec),
+            shmapped(args))
+
+        def finish_one(vol, flow, out):
+            return ov._solve_banded(
+                vol, flow if has_flow else None,
+                jnp.arange(n, dtype=jnp.int32), jnp.full(n, -1, jnp.int32),
+                jnp.zeros(n, bool), jnp.full(n, ov.NUM_BUCKETS, jnp.int32),
+                p, thetas, lr, False, None, 0, band_outputs=out).label
+
+        return jax.vmap(finish_one)(vols, flows, outs)
+
+    return jax.jit(solve, out_shardings=NamedSharding(
+        mesh, P("data", None, "space", None)))
