@@ -156,13 +156,29 @@ def main():
     names = {1: "over-segmentation", 2: "full hierarchical segmentation",
              3: "flow-enabled segmentation", 4: "streaming 720p segmentation",
              5: "1080p two-clip batch segmentation"}
-    print(json.dumps({
+    rec = {
         "metric": f"{names[cfg]} fps ({w}x{h}, "
                   f"flow={'on' if use_flow else 'off'})",
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / baseline_for(cfg), 3),
-    }))
+    }
+    print(json.dumps(rec))
+    # Every measured config also lands in BENCH_ALL.json (keyed by config
+    # number + frame count), so 720p/1080p/flow regressions are visible in
+    # a committed artifact, not only in the headline config's BENCH_r*.
+    all_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_ALL.json")
+    try:
+        with open(all_path) as f:
+            allrec = json.load(f)
+    except (OSError, ValueError):
+        allrec = {}
+    allrec[str(cfg)] = dict(rec, frames=n_frames,
+                            date=time.strftime("%Y-%m-%d"))
+    with open(all_path, "w") as f:
+        json.dump(allrec, f, indent=2, sort_keys=True)
+        f.write("\n")
     return 0
 
 

@@ -8,17 +8,23 @@ before any backend initialization.
 
 import os
 
-# Must be set before jax initializes its backends.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# Must be set before jax initializes its backends.  VST_TEST_TPU=1 runs
+# the selected tests on the real backend instead (used to validate
+# device-semantics-sensitive paths, e.g. the fused multi-clip solve, on
+# actual TPU hardware; the 8-device mesh tests will then skip or fail —
+# select specific tests).
+if not os.environ.get("VST_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not os.environ.get("VST_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

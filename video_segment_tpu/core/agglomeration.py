@@ -49,6 +49,36 @@ _I32MAX = jnp.iinfo(jnp.int32).max
 _DQ = 1 << 20  # distance quantization for integer keys
 
 
+@functools.partial(jax.jit, static_argnames=("shape",))
+def _scatter_table(keys, vals, shape: tuple):
+    n = 1
+    for s in shape:
+        n *= s
+    return jnp.zeros(n, jnp.float32).at[keys].add(vals).reshape(shape)
+
+
+def _to_device_sparse(arr):
+    """Upload a large mostly-empty host table as COO (int32 keys + f32
+    values) and scatter it into shape on device: the dense histogram
+    tables ((rcap, 4000) and friends) are ~95% zeros and the remote
+    host->device link (~30-60 MB/s) made their dense upload the single
+    largest agglomeration cost."""
+    if not isinstance(arr, np.ndarray) or arr.size < (1 << 20):
+        return jnp.asarray(arr)
+    assert arr.size < 2 ** 31, "int32 COO keys"
+    flat = arr.reshape(-1)
+    nz = np.flatnonzero(flat)
+    if nz.size * 2 >= arr.size // 2:   # dense enough: COO wouldn't help
+        return jnp.asarray(arr)
+    cap = max(1 << 14, _next_pow2(nz.size))  # quantized: few programs
+    keys = np.zeros(cap, np.int32)
+    keys[:nz.size] = nz
+    vals = np.zeros(cap, np.float32)
+    vals[:nz.size] = flat[nz]
+    return _scatter_table(jnp.asarray(keys), jnp.asarray(vals),
+                          tuple(arr.shape))
+
+
 class AggloState(NamedTuple):
     label: jnp.ndarray      # (C,) slot -> current root (C = phase cap)
     hist: jnp.ndarray       # (C,B) color histograms (unnormalized)
@@ -421,10 +451,11 @@ def agglomerate(hist, flow_hist, flow_cnt, sizes, edges, num_regions: int,
     if win_hist is None:
         win_hist = np.zeros((0, r, hist.shape[1]), np.float32)
         win_cnt = np.zeros((0, r), np.float32)
-    state = AggloState(jnp.arange(r, dtype=jnp.int32), jnp.asarray(hist),
-                       jnp.asarray(flow_hist), jnp.asarray(flow_cnt),
+    state = AggloState(jnp.arange(r, dtype=jnp.int32),
+                       _to_device_sparse(hist),
+                       _to_device_sparse(flow_hist), jnp.asarray(flow_cnt),
                        jnp.asarray(sizes, jnp.float32),
-                       jnp.asarray(win_hist), jnp.asarray(win_cnt))
+                       _to_device_sparse(win_hist), jnp.asarray(win_cnt))
     edges = jnp.asarray(edges, jnp.int32)
     if edges.shape[0] == 0:
         edges = jnp.zeros((1, 2), jnp.int32)  # inert self-edge

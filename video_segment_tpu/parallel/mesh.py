@@ -103,22 +103,44 @@ def _free_solve_one(params, has_flow):
     return solve_one
 
 
-def fused_oversegment(params=None, has_flow: bool = False):
+def fused_oversegment(params=None, has_flow: bool = False,
+                      max_solve_voxels: int = 8_000_000):
     """Single-device fused multi-clip over-segmentation: ONE compiled
     program solves a whole batch of clips (vmap over the leading clip
     axis), instead of serializing per-clip programs on the chip.
 
     Returns fn(vols, flows) for vols (clips, T, H, W, 3) [flows
-    (clips, T-1, H, W, 2)] -> (clips, T, H, W) int32 labels, identical
+    (clips, T-1, H, W, 2)] -> (clips, T, H, W) int32 labels, equal
     per clip to the single-clip solve (vmap only batches; the math is
-    per-clip).  This is the device-side half of BASELINE config 5's
-    batch topology — host stages (RLE, histograms, proto emission) stay
-    per-clip and overlap via tools/batch_segment --concurrent; multi-chip
-    batch rides the mesh "data" axis (`sharded_oversegment`)."""
+    per-clip — equality-tested on the CPU mesh and on a v5e chip,
+    tests/test_parallel.py).  This is the device-side half of BASELINE
+    config 5's batch topology — host stages (RLE, histograms, proto
+    emission) stay per-clip and overlap via tools/batch_segment
+    --concurrent; multi-chip batch rides the mesh "data" axis
+    (`sharded_oversegment`).
+
+    The batched program's live solve footprint is clips * T * H * W
+    voxels (the TPU worker crashes near ~19M, CLAUDE.md): calls whose
+    batch exceeds `max_solve_voxels` are rejected up front rather than
+    crashing the worker mid-solve.  Drivers should also pad the clip
+    axis to a canonical batch size (the compiled shape includes it, so
+    every distinct batch size is a fresh compile)."""
     from video_segment_tpu.core import oversegmentation as ov
 
     p = (params or ov.OversegParams())._replace(edge_table=True)
-    return jax.jit(jax.vmap(_free_solve_one(p, has_flow)))
+    vm = jax.jit(jax.vmap(_free_solve_one(p, has_flow)))
+
+    def fn(vols, flows=None):
+        b, t, h, w = vols.shape[:4]
+        if b * t * h * w > max_solve_voxels:
+            raise ValueError(
+                f"batched solve footprint {b}x{t}x{h}x{w} = "
+                f"{b * t * h * w} voxels exceeds max_solve_voxels "
+                f"({max_solve_voxels}); shrink the batch or route clips "
+                f"through the banded/streaming path")
+        return vm(vols, flows)
+
+    return fn
 
 
 def _solve_schedule(params):
