@@ -135,3 +135,21 @@ def test_seg_tree_cli_flow_both(tiny_video, tmp_path):
         n += 1
     cache.close()
     assert n == 2 * 5  # forward + backward for frames 1..5
+
+
+def test_batch_segment_fused(tiny_video, tmp_path):
+    """Fused lockstep batch: two clips through one vmapped solve per
+    chunk; each emits an independently readable .pb stream."""
+    from video_segment_tpu.tools import batch_segment
+
+    outd = str(tmp_path / "fused")
+    rc = batch_segment.main([tiny_video, tiny_video, "--fused", "--no-flow",
+                             "--output_dir", outd])
+    assert rc in (0, None)
+    pbs = sorted(os.listdir(outd))
+    assert len(pbs) == 2
+    for pb in pbs:
+        r = seg_io.SegmentationReader(os.path.join(outd, pb))
+        assert r.open_and_read_headers()
+        assert len(r.frame_offsets) == 6
+        r.close()

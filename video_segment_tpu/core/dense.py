@@ -66,6 +66,61 @@ class SegFrame:
     moments: np.ndarray | None = None  # (R,6) ShapeMoments rows
 
 
+@functools.partial(jax.jit, static_argnames=("h", "fix_n4"))
+def _finalize_labels(lab: jnp.ndarray, h: int, fix_n4: bool):
+    """Slice pad rows off the solver's label volume and resolve N4
+    checkerboard diagonal crossings ON DEVICE (the reference's
+    EnforceN4Connectivity, dense_segmentation_graph.h:1303-1337): one
+    vectorized stencil pass, bitwise-equal to ops/rle.enforce_n4_connectivity
+    per frame, moved off the host where it cost a serial pass over the
+    volume on the inter-chunk critical path.  Pad rows must be sliced
+    BEFORE the stencil — a replicated bottom row would fire the crossing
+    pattern along the entire true bottom edge."""
+    lab = lab[:, :h]
+    if not fix_n4:
+        return lab
+    a = lab[:, :-1, :-1]
+    b = lab[:, :-1, 1:]
+    c = lab[:, 1:, :-1]
+    d = lab[:, 1:, 1:]
+    cross = (a == d) & (b == c) & (a != b)
+    flip = jnp.pad(cross, ((0, 0), (0, 1), (0, 1)))
+    right = jnp.concatenate([lab[:, :, 1:], lab[:, :, -1:]], axis=2)
+    return jnp.where(flip, right, lab)
+
+
+def _materialize_solve_inputs(prep: dict, w: int):
+    """Materialize a `_prepare_chunk` dict's optional solver inputs to
+    their neutral full volumes, so one compiled signature covers a whole
+    chunk class.  Shared by the mesh dispatch (sharded_chunk_solver) and
+    the fused multi-clip batch driver (core/batch.py), whose programs
+    cannot branch on which optional inputs exist."""
+    t_solve, hp = prep["t_solve"], prep["hp"]
+    shape3 = (t_solve, hp, w)
+    n = t_solve * hp * w
+    init = (prep["init_label"].reshape(shape3)
+            if prep["init_label"] is not None
+            else jnp.arange(n, dtype=jnp.int32).reshape(shape3))
+    constr = (prep["constraints"].reshape(shape3)
+              if prep["constraints"] is not None
+              else jnp.full(shape3, -1, jnp.int32))
+    froz = (prep["frozen"].reshape(shape3) if prep["frozen"] is not None
+            else jnp.zeros(shape3, bool))
+    tf = prep["tile_fin"]
+    if tf is None:
+        fin = jnp.full(shape3, ov.NUM_BUCKETS, jnp.int32)
+    elif tf.dtype == jnp.bool_:
+        fin = jnp.where(tf.reshape(shape3), 0, ov.NUM_BUCKETS)
+    else:
+        fin = tf.reshape(shape3).astype(jnp.int32)
+    cells = (tuple(x.reshape(shape3) for x in prep["tile_stats"])
+             if prep["tile_stats"] is not None
+             else tuple(jnp.zeros(shape3, jnp.float32) for _ in range(4)))
+    fl = (prep["flow"] if prep["flow"] is not None
+          else jnp.zeros((max(t_solve - 1, 0), hp, w, 2), jnp.float32))
+    return prep["vol"], fl, init, constr, froz, fin, cells
+
+
 @functools.partial(jax.jit, static_argnames=("mode", "pad_rows"))
 def _preprocess_u8(frame_u8: jnp.ndarray, mode: str, pad_rows: int):
     """One device program per ingest frame: u8 -> f32 -> presmooth -> pad."""
@@ -228,29 +283,40 @@ class DenseSegmentation:
     def process_frame(self, flush: bool, frame_bgr_u8: np.ndarray | None = None,
                       flow: np.ndarray | None = None) -> list[SegFrame]:
         if frame_bgr_u8 is not None:
-            img = self.preprocess(frame_bgr_u8)
-            self._buffer.append(img)
-            if (self._preseg_mode == "felz"
-                    and (self.options.tile_presegment
-                         or self._params.edge_table)):
-                self._preseg_buffer.append(self._preseg_frame(img))
-            # flow_buffer[i] is the backward flow of buffer frame i
-            # (None only for the very first video frame).
-            self._flow_buffer.append(
-                None if flow is None else np.asarray(flow, np.float32))
-            if flow is not None:
-                self._has_flow = True
-
-        if self._buffer and (
-                flush or
-                len(self._buffer) - self._chunk_start >= self.options.chunk_size):
+            self._ingest(frame_bgr_u8, flow)
+        if self._chunk_ready(flush):
             return self._segment_chunk(flush)
-        if flush and self._pending is not None:
-            prev = self._pending
-            self._pending = None
-            self._planes_ready = None
-            return list(prev.result())
+        if flush:
+            return self._drain_pending()
         return []
+
+    def _ingest(self, frame_bgr_u8: np.ndarray,
+                flow: np.ndarray | None) -> None:
+        img = self.preprocess(frame_bgr_u8)
+        self._buffer.append(img)
+        if (self._preseg_mode == "felz"
+                and (self.options.tile_presegment
+                     or self._params.edge_table)):
+            self._preseg_buffer.append(self._preseg_frame(img))
+        # flow_buffer[i] is the backward flow of buffer frame i
+        # (None only for the very first video frame).
+        self._flow_buffer.append(
+            None if flow is None else np.asarray(flow, np.float32))
+        if flow is not None:
+            self._has_flow = True
+
+    def _chunk_ready(self, flush: bool) -> bool:
+        return bool(self._buffer) and (
+            flush or
+            len(self._buffer) - self._chunk_start >= self.options.chunk_size)
+
+    def _drain_pending(self) -> list[SegFrame]:
+        if self._pending is None:
+            return []
+        prev = self._pending
+        self._pending = None
+        self._planes_ready = None
+        return list(prev.result())
 
     def join(self):
         """Block until deferred tail work has settled (checkpointing and
@@ -261,6 +327,15 @@ class DenseSegmentation:
     # -- chunk solve ------------------------------------------------------
 
     def _segment_chunk(self, flush: bool) -> list[SegFrame]:
+        """One streaming chunk: build solver inputs, dispatch the device
+        solve, run the host tail.  Split into _prepare_chunk /
+        _dispatch_solve / _post_solve so BatchDenseSegmentation can batch
+        the middle step across clips (one vmapped device program)."""
+        prep = self._prepare_chunk(flush)
+        res = self._dispatch_solve(prep)
+        return self._post_solve(prep, res, flush)
+
+    def _prepare_chunk(self, flush: bool) -> dict:
         t = len(self._buffer)
         h, w = self.frame_height, self.frame_width
         # Pad every solve to a canonical temporal extent by repeating the
@@ -440,26 +515,50 @@ class DenseSegmentation:
                 params = params._replace(
                     table_slots=min(slots, t_solve * hp * w))
 
-        t_solve0 = time.monotonic()
         head_planes = (1 + self.constraint_frames if self._overlap_gids
                        else 0)
+        return dict(t=t, t_solve=t_solve, hp=hp, vol=vol, flow=flow,
+                    constraints=constraints, init_label=init_label,
+                    frozen=frozen, tile_fin=tile_fin, tile_stats=tile_stats,
+                    params=params, head_planes=head_planes,
+                    cid_to_gid=cid_to_gid, timing=timing, t_pre0=t_pre0,
+                    t_solve0=time.monotonic())
+
+    def _dispatch_solve(self, prep: dict) -> ov.OversegResult:
         if self._mesh is not None:
-            res = self._solve_on_mesh(vol, flow, constraints, init_label,
-                                      frozen, tile_fin, params, tile_stats,
-                                      head_planes, t_solve, hp, w)
-        else:
-            res = ov.oversegment(vol, flow=flow, constraints=constraints,
-                                 init_label=init_label, frozen=frozen,
-                                 fin=tile_fin, params=params,
-                                 cell_stats=tile_stats,
-                                 head_planes=head_planes)
+            return self._solve_on_mesh(prep)
+        return ov.oversegment(prep["vol"], flow=prep["flow"],
+                              constraints=prep["constraints"],
+                              init_label=prep["init_label"],
+                              frozen=prep["frozen"], fin=prep["tile_fin"],
+                              params=prep["params"],
+                              cell_stats=prep["tile_stats"],
+                              head_planes=prep["head_planes"])
+
+    def _post_solve(self, prep: dict, res: ov.OversegResult,
+                    flush: bool) -> list[SegFrame]:
+        import os
+        import time
+        t = prep["t"]
+        h, w = self.frame_height, self.frame_width
+        timing = prep["timing"]
+        cid_to_gid = prep["cid_to_gid"]
+        t_pre0 = prep["t_pre0"]
+        t_solve0 = prep["t_solve0"]
+        constraints = prep["constraints"]
+        n4 = self.options.enforce_n4_connectivity
+        slotvol = lut = labels = None
         if res.label16 is not None and int(np.asarray(res.nsink)) == 0:
             # Compressed label transport: uint16 slot volume + int32 LUT is
             # half the bytes of the int32 label volume on the remote link.
+            # N4 enforcement runs on device before the transfer; the tail
+            # then compacts by slot rank (a bincount over the u16 volume)
+            # instead of re-deriving compaction from voxel ids.
             lut = np.asarray(res.lut)
-            labels = lut[np.asarray(res.label16[:t, :h])]
+            slotvol = np.asarray(
+                _finalize_labels(res.label16, h, n4))[:t]
         else:
-            labels = np.asarray(res.label[:t, :h])
+            labels = np.asarray(_finalize_labels(res.label, h, n4))[:t]
         # Fetch the (small) slot attribute arrays NOW: they are outputs of
         # the same program as `label`, so this costs nothing extra — but a
         # later np.asarray would block behind whatever device work the
@@ -494,7 +593,8 @@ class DenseSegmentation:
         if (self.options.enforce_spatial_connectedness and self._has_flow
                 and t > 1):
             flow_np = np.stack([f for f in self._flow_buffer[1:t]])
-        ctx = dict(labels=labels, res=res, cid_to_gid=cid_to_gid,
+        ctx = dict(labels=labels, slotvol=slotvol, lut=lut, res=res,
+                   cid_to_gid=cid_to_gid,
                    flush=flush, t=t, last_output=last_output,
                    had_constraints=bool(self._overlap_gids),
                    chunk_start=self._chunk_start, chunk_id=self._chunk_id,
@@ -528,41 +628,20 @@ class DenseSegmentation:
             self._planes_ready = None
         return out
 
-    def _solve_on_mesh(self, vol, flow, constraints, init_label, frozen,
-                       tile_fin, params, tile_stats, head_planes: int,
-                       t_solve: int, hp: int, w: int):
+    def _solve_on_mesh(self, prep: dict):
         """Dispatch the chunk solve through the mesh-sharded banded solver
         (parallel.mesh.sharded_chunk_solver): rows sharded over "space",
         all optional inputs materialized to their neutral volumes so the
         compiled program set stays small."""
-        import jax.numpy as jnp
-
         from video_segment_tpu.parallel import mesh as pmesh
 
-        shape3 = (t_solve, hp, w)
-        has_flow = flow is not None
-        has_constraints = constraints is not None
-        use_cells = tile_stats is not None
-        if init_label is None:
-            init_label = jnp.arange(t_solve * hp * w,
-                                    dtype=jnp.int32).reshape(shape3)
-        else:
-            init_label = init_label.reshape(shape3)
-        constr = (constraints.reshape(shape3) if has_constraints
-                  else jnp.full(shape3, -1, jnp.int32))
-        froz = (frozen.reshape(shape3) if frozen is not None
-                else jnp.zeros(shape3, bool))
-        if tile_fin is None:
-            fin = jnp.full(shape3, ov.NUM_BUCKETS, jnp.int32)
-        elif tile_fin.dtype == jnp.bool_:
-            fin = jnp.where(tile_fin.reshape(shape3), 0, ov.NUM_BUCKETS)
-        else:
-            fin = tile_fin.reshape(shape3).astype(jnp.int32)
-        cells = (tuple(x.reshape(shape3) for x in tile_stats) if use_cells
-                 else tuple(jnp.zeros(shape3, jnp.float32)
-                            for _ in range(4)))
-        fl = (flow if has_flow
-              else jnp.zeros((max(t_solve - 1, 0), hp, w, 2), jnp.float32))
+        params = prep["params"]
+        has_flow = prep["flow"] is not None
+        has_constraints = prep["constraints"] is not None
+        use_cells = prep["tile_stats"] is not None
+        head_planes = prep["head_planes"]
+        vol, fl, init_label, constr, froz, fin, cells = \
+            _materialize_solve_inputs(prep, self.frame_width)
         key = (params, has_flow, has_constraints, head_planes, use_cells)
         solver = self._solver_cache.get(key)
         if solver is None:
@@ -592,14 +671,26 @@ class DenseSegmentation:
 
         try:
             marks = [("start", time.monotonic())]
-            if self.options.enforce_n4_connectivity:
-                labels = np.stack([rle.enforce_n4_connectivity(f)
-                                   for f in labels])
+            # N4 enforcement already ran on device (_finalize_labels).
             marks.append(("n4", time.monotonic()))
 
-            compact, roots = rle.compact_labels(labels)
-            num_regions = len(roots)
-            constr_of_region, _ = ov.region_attrs(res, roots)
+            if ctx["slotvol"] is not None:
+                # Slot-rank compaction: the solver's u16 slot volume is
+                # already near-compact, so a bincount + rank gather
+                # replaces the voxel-id presence scan (~4x cheaper on the
+                # critical path), and slot attributes index directly.
+                slotvol = ctx["slotvol"]
+                lut = ctx["lut"]
+                cnt = np.bincount(slotvol.ravel(), minlength=len(lut))
+                present = cnt > 0
+                rank = (np.cumsum(present) - 1).astype(np.int32)
+                compact = rank[slotvol]
+                num_regions = int(present.sum())
+                constr_of_region = np.asarray(res.constr)[present]
+            else:
+                compact, roots = rle.compact_labels(labels)
+                num_regions = len(roots)
+                constr_of_region, _ = ov.region_attrs(res, roots)
             marks.append(("compact", time.monotonic()))
 
             if self.options.enforce_spatial_connectedness:
