@@ -117,7 +117,10 @@ def test_boundary_f_vs_reference_fixture(our_pb):
     levels = [0.0, 0.4]
     golden = _id_volumes(FIXTURE, levels)
     ours = _id_volumes(our_pb, levels)
-    floors = {0.0: 0.55, 0.4: 0.35}
+    # Floors ride ~0.05 under the measured scores (r4: 0.814/0.833 at the
+    # shipped defaults) so a real quality regression fails CI instead of
+    # hiding in slack (round-3 verdict item 8).
+    floors = {0.0: 0.76, 0.4: 0.78}
     for frac in levels:
         m = boundary_f_measure(golden[frac], ours[frac])
         print(f"level {frac}: F={m['f_measure']:.4f} "
