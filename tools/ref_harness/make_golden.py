@@ -98,6 +98,9 @@ def main() -> None:
     ap.add_argument("--skip-golden", action="store_true",
                     help="reuse existing golden .pb")
     ap.add_argument("--levels", default="0,0.4,0.75")
+    ap.add_argument("--ours-args", default="",
+                    help="extra seg_tree flags for the sweep harness, e.g. "
+                         "'--solver_param preseg_fin_margin=1.5'")
     ap.add_argument("--out-json", default=os.path.join(BUILD, "fmeasure.json"))
     args = ap.parse_args()
     levels = [float(x) for x in args.levels.split(",")]
@@ -123,8 +126,8 @@ def main() -> None:
         t0 = time.time()
         run([sys.executable, "-m", "video_segment_tpu.tools.seg_tree",
              "--input_file", args.video, "--trim_to", str(n),
-             "--write_to_file", "--output_file", ours_pb, "--no-flow"],
-            cwd=REPO)
+             "--write_to_file", "--output_file", ours_pb, "--no-flow"]
+            + args.ours_args.split(), cwd=REPO)
         ours_s = time.time() - t0
         print(f"our run: {ours_s:.1f}s ({n / ours_s:.2f} fps)")
 

@@ -69,7 +69,39 @@ def build_arg_parser():
                         "(requires --no-use_pipeline)")
     p.add_argument("--resume", action="store_true",
                    help="resume from --checkpoint_path")
+    p.add_argument("--solver_param", action="append", default=[],
+                   metavar="NAME=VALUE",
+                   help="override an OversegParams field (repeatable), "
+                        "e.g. --solver_param preseg_fin_margin=1.5 — the "
+                        "CLI face of the reference's per-option "
+                        "segmentation proto knobs (seg_tree.cpp:174-213)")
     return p
+
+
+def _solver_params_from_flags(pairs):
+    """None, or OversegParams with `name=value` overrides applied; values
+    coerce to the field's existing type (bool accepts 0/1/true/false)."""
+    if not pairs:
+        return None
+    from video_segment_tpu.core import oversegmentation as ov
+    params = ov.OversegParams()
+    for pair in pairs:
+        name, _, raw = pair.partition("=")
+        if not hasattr(params, name):
+            raise SystemExit(f"--solver_param: unknown field {name!r}")
+        cur = getattr(params, name)
+        if isinstance(cur, bool):
+            val = raw.lower() in ("1", "true", "yes")
+        elif isinstance(cur, int):
+            val = int(raw)
+        elif isinstance(cur, float):
+            val = float(raw)
+        elif isinstance(cur, tuple):
+            val = tuple(int(x) for x in raw.split(",") if x)
+        else:
+            val = raw
+        params = params._replace(**{name: val})
+    return params
 
 
 def main(argv=None):
@@ -117,7 +149,9 @@ def main(argv=None):
     # state must match the frames already written to the output).
     opts = DenseSegmentationOptions(chunk_size=args.chunk_size,
                                     async_tail=not args.checkpoint_every)
-    ds = dense.DenseSegmentation(opts, info.width, info.height)
+    ds = dense.DenseSegmentation(
+        opts, info.width, info.height,
+        solver_params=_solver_params_from_flags(args.solver_param))
 
     region_stage = None
     if not args.over_segment:
