@@ -134,3 +134,83 @@ def test_rate_policy_dynamic_throttles_on_queue_depth():
         p.queues[0].get()
     rate, _ = p._current_rate(fed=10, last_update=0.0)
     assert rate == pytest.approx(100.0, rel=1e-6)
+
+
+# -- unit tree (multi-child fan-out + tree Seek, video_unit.cpp:219-263) --
+
+def test_unit_tree_fanout_all_children_see_every_item():
+    root = pl.Unit("src", lambda x: [x * 2])
+    got_a, got_b = [], []
+    a = root.add_child(pl.Unit("a", lambda x: [("a", x)]))
+    b = root.add_child(pl.Unit("b", lambda x: [("b", x + 1)]))
+    assert (a.name, b.name) == ("a", "b")
+    tree = pl.UnitTree(root)
+    out = list(tree.run(range(5)))
+    got_a = sorted(v for n, v in out if n == "a")
+    got_b = sorted(v for n, v in out if n == "b")
+    assert got_a == [("a", 0), ("a", 2), ("a", 4), ("a", 6), ("a", 8)]
+    assert got_b == [("b", 1), ("b", 3), ("b", 5), ("b", 7), ("b", 9)]
+    # telemetry covers every unit
+    assert all(st.stats.processed == 5 for st in tree.stages)
+
+
+def test_unit_tree_flush_and_interior_collect():
+    buffered = []
+
+    def buf(x):
+        buffered.append(x)
+        return []
+
+    root = pl.Unit("src", lambda x: [x])
+    mid = root.add_child(pl.Unit("buf", buf, flush=lambda: list(buffered),
+                                 collect=True))
+    sink_seen = []
+    mid.add_child(pl.Unit("sink", lambda x: sink_seen.append(x) or [],
+                          collect=False))
+    out = list(pl.UnitTree(root).run(range(4)))
+    assert sorted(v for n, v in out if n == "buf") == [0, 1, 2, 3]
+    assert sorted(sink_seen) == [0, 1, 2, 3]  # flush outputs reach children
+
+
+def test_unit_tree_seek_propagation_stops_at_false():
+    calls = []
+
+    def seek_yes(name):
+        def s(pts):
+            calls.append((name, pts))
+            return True
+        return s
+
+    def seek_no(pts):
+        calls.append(("mid", pts))
+        return False
+
+    root = pl.Unit("root", seek=seek_yes("root"))
+    mid = root.add_child(pl.Unit("mid", seek=seek_no))
+    mid.add_child(pl.Unit("leaf", seek=seek_yes("leaf")))
+    sib = root.add_child(pl.Unit("sib", seek=seek_yes("sib")))
+    assert sib is not mid
+    assert root.seek(42) is True
+    # mid returned False, so leaf is never re-seeked (video_unit.cpp:256-262)
+    assert ("root", 42) in calls and ("mid", 42) in calls
+    assert ("sib", 42) in calls
+    assert all(n != "leaf" for n, _ in calls)
+
+
+def test_unit_tree_branch_error_aborts_whole_tree():
+    def boom(x):
+        if x == 2:
+            raise ValueError("branch boom")
+        return [x]
+
+    root = pl.Unit("src", lambda x: [x])
+    root.add_child(pl.Unit("ok", lambda x: [x]))
+    root.add_child(pl.Unit("boom", boom))
+    tree = pl.UnitTree(root, queue_size=2)
+    t0 = time.monotonic()
+    with pytest.raises(ValueError, match="branch boom"):
+        list(tree.run(range(10_000)))
+    assert time.monotonic() - t0 < 5.0
+    for t in tree._threads:
+        t.join(timeout=2.0)
+        assert not t.is_alive()

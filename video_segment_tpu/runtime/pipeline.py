@@ -255,6 +255,160 @@ class Pipeline:
         return " -> ".join(parts)
 
 
+class Unit:
+    """Node of a processing tree (the reference's VideoUnit,
+    video_unit.h:343-510): `fn(item)` yields outputs that are passed to
+    EVERY child (video_unit.cpp:228-239 hands each FrameSet to all
+    children), `flush()` produces trailing outputs at end-of-stream, and
+    `seek(pts) -> bool` repositions the unit — children are re-seeked only
+    when it returns True (video_unit.cpp:251-263; the reference's default
+    SeekImpl returns true).
+
+    Items fan out by reference, not by copy — children must treat inputs
+    as read-only, the same shared-FrameSetPtr contract the reference has.
+    Leaves collect by default: their outputs are yielded from
+    UnitTree.run() tagged with the unit name.
+    """
+
+    def __init__(self, name: str,
+                 fn: Callable[[Any], Iterable | None] | None = None,
+                 flush: Callable[[], Iterable | None] | None = None,
+                 seek: Callable[[int], bool] | None = None,
+                 collect: bool | None = None):
+        self.stage = Stage(name, fn if fn is not None else (lambda x: [x]),
+                           flush)
+        self._seek_impl = seek
+        self.children: list[Unit] = []
+        self.collect = collect
+
+    @property
+    def name(self) -> str:
+        return self.stage.name
+
+    def add_child(self, child: "Unit") -> "Unit":
+        """Attach `child` below this unit (AttachTo, video_unit.cpp:150);
+        returns the child so chains read root.add_child(a).add_child(b)."""
+        self.children.append(child)
+        return child
+
+    def seek(self, pts: int = 0) -> bool:
+        """Tree-wide Seek (video_unit.cpp:251-263): reposition this unit,
+        then re-seek children only if the position changed.  Call between
+        runs — units are not required to handle mid-stream seeks."""
+        changed = (self._seek_impl(pts) if self._seek_impl is not None
+                   else True)
+        if changed:
+            for child in self.children:
+                child.seek(pts)
+        return changed
+
+    def walk(self) -> Iterator["Unit"]:
+        yield self
+        for child in self.children:
+            yield from child.walk()
+
+
+class UnitTree(Pipeline):
+    """Threaded runner for a `Unit` tree: one worker thread per unit, a
+    bounded queue per tree edge, outputs fanned out to every child.  The
+    linear `Pipeline` is the single-child special case; rate policy,
+    telemetry, and the abort-on-failure semantics are shared.
+
+    run() yields `(unit_name, item)` for every output of a collecting
+    unit (leaves by default; pass collect=True/False to override).
+    """
+
+    def __init__(self, root: Unit, queue_size: int = 10,
+                 rate_policy: RatePolicy | None = None):
+        self.root = root
+        units = list(root.walk())
+        names = [u.name for u in units]
+        if len(set(names)) != len(names):
+            raise ValueError(f"duplicate unit names: {names}")
+        super().__init__([u.stage for u in units], queue_size=queue_size,
+                         rate_policy=rate_policy)
+        self._units = units
+
+    def _tree_worker(self, unit: Unit, q_in: queue.Queue,
+                     q_children: list[queue.Queue],
+                     q_collect: queue.Queue | None):
+        def emit(out):
+            if out is None:
+                return
+            for o in out:
+                for qc in q_children:
+                    self._put(qc, o)
+                if q_collect is not None:
+                    self._put(q_collect, (unit.name, o))
+
+        try:
+            while True:
+                item = self._get(q_in)
+                if item is _SENTINEL:
+                    break
+                t0 = time.monotonic()
+                emit(unit.stage.fn(item))
+                unit.stage.stats.record(time.monotonic() - t0)
+            if unit.stage.flush is not None:
+                t0 = time.monotonic()
+                emit(unit.stage.flush())
+                unit.stage.stats.record(time.monotonic() - t0)
+            for qc in q_children:
+                self._put(qc, _SENTINEL)
+            if q_collect is not None:
+                self._put(q_collect, _SENTINEL)
+        except _Aborted:
+            pass
+        except BaseException as e:
+            self._fail(e)
+
+    def run(self, source: Iterable) -> Iterator:
+        in_q = {u.name: queue.Queue(maxsize=self.queue_size)
+                for u in self._units}
+        collectors = [u for u in self._units
+                      if (not u.children if u.collect is None
+                          else u.collect)]
+        out_q = queue.Queue(maxsize=max(self.queue_size,
+                                        len(collectors) or 1))
+        # queues[0] must be the root input (the feeder and the dynamic-rate
+        # policy address it); the rest feed depth telemetry.
+        self.queues = [in_q[self.root.name]] + \
+            [q for n, q in in_q.items() if n != self.root.name] + [out_q]
+        collect_set = {u.name for u in collectors}
+        for u in self._units:
+            t = threading.Thread(
+                target=self._tree_worker,
+                args=(u, in_q[u.name],
+                      [in_q[c.name] for c in u.children],
+                      out_q if u.name in collect_set else None),
+                name=f"unit-{u.name}", daemon=True)
+            t.start()
+            self._threads.append(t)
+
+        feeder = threading.Thread(target=self._feed, args=(source,),
+                                  name="source", daemon=True)
+        feeder.start()
+
+        remaining = len(collectors)
+        try:
+            while remaining > 0:
+                item = self._get(out_q)
+                if item is _SENTINEL:
+                    remaining -= 1
+                    continue
+                yield item
+        except _Aborted:
+            pass
+        except GeneratorExit:
+            self._abort.set()
+            raise
+        feeder.join()
+        for t in self._threads:
+            t.join()
+        if self._error is not None:
+            raise self._error
+
+
 class StatusPrinter:
     """Periodic pipeline status line (the reference's --pipeline_status)."""
 
