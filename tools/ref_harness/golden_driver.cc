@@ -133,8 +133,10 @@ int main(int argc, char** argv) {
     }
 
     std::vector<std::unique_ptr<segmentation::SegmentationDesc>> dense_out;
-    dense_seg.ProcessFrame(flush, &features,
-                           (use_flow && k > 0) ? &flow : nullptr, &dense_out);
+    // Flow contract (dense_segmentation.cpp:128-142): when flow is in use,
+    // EVERY frame passes a Mat — frame 0's must be empty, later frames real.
+    dense_seg.ProcessFrame(flush, &features, use_flow ? &flow : nullptr,
+                           &dense_out);
     buffered_images.push_back(image.clone());
 
     if (FLAGS_over_segment) {
