@@ -94,3 +94,21 @@ def test_flow_advected_centroid_matching():
     mover_ids_raw = {int(out_raw[f, 11, 8 + f * step]) for f in range(t)}
     assert len(mover_ids_raw) > 1, mover_ids_raw
     assert n_flow < n_raw
+
+
+def test_native_neighbor_pairs_matches_numpy(rng):
+    """Fused native adjacency pass == the pure-NumPy offset enumeration."""
+    from video_segment_tpu.ops import rle
+
+    for shape in [(1, 7, 9), (4, 18, 25), (3, 33, 64)]:
+        lab = rng.integers(0, 40, shape).astype(np.int32)
+        got = native.neighbor_pairs(lab)
+        assert got is not None
+        orig = native.neighbor_pairs
+        try:  # force the NumPy fallback inside rle.neighbor_pairs
+            native.neighbor_pairs = lambda *a, **k: None
+            want = np.asarray(rle.neighbor_pairs(lab))
+        finally:
+            native.neighbor_pairs = orig
+        assert (set(map(tuple, got.tolist()))
+                == set(map(tuple, want.tolist())))

@@ -172,3 +172,28 @@ def test_flow_to_hsv_bgr():
     assert img.std(axis=(0, 1)).max() == 0  # uniform field, uniform color
     zero = flow_mod.flow_to_hsv_bgr(np.zeros((4, 6, 2), np.float32))
     assert zero.max() == 0  # zero magnitude renders black
+
+
+def test_flow_field_residency(rng):
+    """FlowField: device handle downloads once; f16 view shares the batch
+    download; __array__ serves exact float32 for the cache writer."""
+    import jax.numpy as jnp
+
+    host = rng.random((6, 8, 2)).astype(np.float32) * 4 - 2
+    f = flow_mod.FlowField(dev=jnp.asarray(host))
+    np.testing.assert_allclose(np.asarray(f), host, rtol=1e-6)
+    assert f.shape == (6, 8, 2)
+    # Exact copy now cached: f16 view serves it unchanged.
+    assert f.numpy_f16() is f.numpy()
+
+    batch = flow_mod._LazyFlowBatch(jnp.asarray(np.stack([host, host * 2])))
+    f0 = flow_mod.FlowField(dev=batch.dev[0], batch=batch, idx=0)
+    f1 = flow_mod.FlowField(dev=batch.dev[1], batch=batch, idx=1)
+    np.testing.assert_allclose(f1.numpy_f16(), host * 2, atol=2e-3)
+    assert batch._f16 is not None              # one shared download
+    np.testing.assert_allclose(f0.numpy_f16(), host, atol=2e-3)
+    # Host-backed field round-trips through device().
+    g = flow_mod.FlowField(host=host)
+    np.testing.assert_allclose(np.asarray(g.device()), host, rtol=1e-6)
+    assert flow_mod.as_flow_host(None) is None
+    np.testing.assert_allclose(flow_mod.as_flow_host(g), host)

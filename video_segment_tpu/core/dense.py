@@ -299,9 +299,15 @@ class DenseSegmentation:
                      or self._params.edge_table)):
             self._preseg_buffer.append(self._preseg_frame(img))
         # flow_buffer[i] is the backward flow of buffer frame i
-        # (None only for the very first video frame).
-        self._flow_buffer.append(
-            None if flow is None else np.asarray(flow, np.float32))
+        # (None only for the very first video frame).  FlowField handles
+        # (core/flow.py) are kept as-is: their fields stay device-resident
+        # for the chunk solve and download (half-width, batched) only for
+        # the host consumers, instead of paying a full f32 round-trip on
+        # the remote link.
+        if flow is None or hasattr(flow, "numpy_f16"):
+            self._flow_buffer.append(flow)
+        else:
+            self._flow_buffer.append(np.asarray(flow, np.float32))
         if flow is not None:
             self._has_flow = True
 
@@ -356,12 +362,23 @@ class DenseSegmentation:
             tail = self._flow_buffer[1:t]
             if any(f is None for f in tail):
                 raise ValueError("flow must be passed for every frame or none")
-            zero = np.zeros_like(tail[0])
-            flow = np.stack(tail + [zero] * pad)
-            if self._pad_rows:
-                flow = np.pad(flow, ((0, 0), (0, self._pad_rows), (0, 0),
-                                     (0, 0)), mode="edge")
-            flow = jnp.asarray(flow)
+            if any(hasattr(f, "numpy_f16") for f in tail):
+                # Device-resident FlowFields: stack on device — no host
+                # round-trip for the solve input.
+                devs = [f.device() if hasattr(f, "numpy_f16")
+                        else jnp.asarray(f) for f in tail]
+                flow = jnp.stack(
+                    devs + [jnp.zeros_like(devs[0])] * pad)
+                if self._pad_rows:
+                    flow = jnp.pad(flow, ((0, 0), (0, self._pad_rows),
+                                          (0, 0), (0, 0)), mode="edge")
+            else:
+                zero = np.zeros_like(tail[0])
+                flow = np.stack(tail + [zero] * pad)
+                if self._pad_rows:
+                    flow = np.pad(flow, ((0, 0), (0, self._pad_rows), (0, 0),
+                                         (0, 0)), mode="edge")
+                flow = jnp.asarray(flow)
 
         # Pallas tile pre-segmentation: collapse force-merge-similar pixels
         # into tile-local regions before the global solver (VMEM-resident
@@ -592,7 +609,12 @@ class DenseSegmentation:
         flow_np = None
         if (self.options.enforce_spatial_connectedness and self._has_flow
                 and t > 1):
-            flow_np = np.stack([f for f in self._flow_buffer[1:t]])
+            # Centroid advection samples a handful of points per frame:
+            # the half-width (f16, batched) download is far inside its
+            # tolerance (4% of the frame diagonal).
+            flow_np = np.stack([
+                f.numpy_f16() if hasattr(f, "numpy_f16") else np.asarray(f)
+                for f in self._flow_buffer[1:t]])
         ctx = dict(labels=labels, slotvol=slotvol, lut=lut, res=res,
                    cid_to_gid=cid_to_gid,
                    flush=flush, t=t, last_output=last_output,

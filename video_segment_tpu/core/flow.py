@@ -220,6 +220,97 @@ FLOW_BACKWARD = 1
 FLOW_BOTH = 2
 
 
+class _LazyFlowBatch:
+    """Shared host cache for one micro-batch of device flow fields.
+
+    The first host consumer triggers ONE float16 download of the whole
+    (B,H,W,2) batch (half the bytes of f32 on the ~25-55 MB/s remote link,
+    one transfer instead of B); every FlowField of the batch then serves
+    its slice from the cache.  Flow magnitudes are a few pixels, so f16
+    (~3 decimal digits) is far inside the tolerance of every host
+    consumer: centroid advection (threshold 4% of the frame diagonal,
+    core/connectedness.py) and angle/magnitude histogram binning
+    (core/region.py)."""
+
+    __slots__ = ("dev", "_f16")
+
+    def __init__(self, dev):
+        self.dev = dev          # (B,H,W,2) float32 device array
+        self._f16 = None
+
+    def f16(self, i: int) -> np.ndarray:
+        if self._f16 is None:
+            self._f16 = np.asarray(_to_f16(self.dev))
+        return self._f16[i]
+
+
+@jax.jit
+def _to_f16(x):
+    return x.astype(jnp.float16)
+
+
+class FlowField:
+    """Handle for one frame's (H,W,2) flow field.
+
+    Device-resident when computed on the TPU: the dense solver reads
+    `.device()` and skips the download + re-upload round-trip the remote
+    link would otherwise pay (~8 bytes/px each way).  Host consumers go
+    through `.numpy_f16()` (batched half-width download, cached) or
+    `np.asarray(field)` (exact float32 — used by the `.flow` cache
+    writer).  Mirrors the reference's FlowFrame payload
+    (video_framework/flow_reader.h:76-133) with the storage residency
+    made explicit."""
+
+    __slots__ = ("_dev", "_host", "_batch", "_idx")
+
+    def __init__(self, dev=None, host=None, batch=None, idx=0):
+        self._dev = dev
+        self._host = None if host is None else np.asarray(host, np.float32)
+        self._batch = batch
+        self._idx = idx
+
+    def device(self):
+        """(H,W,2) float32 on device (uploads once for host-backed fields)."""
+        if self._dev is None:
+            self._dev = jnp.asarray(self.numpy())
+        return self._dev
+
+    def numpy(self) -> np.ndarray:
+        """Exact float32 host copy (downloads once)."""
+        if self._host is None:
+            self._host = np.asarray(self._dev, np.float32)
+        return self._host
+
+    def numpy_f16(self) -> np.ndarray:
+        """Half-width host copy for tolerance-insensitive consumers; serves
+        the exact copy when one already exists (cache-read path)."""
+        if self._host is not None:
+            return self._host
+        if self._batch is not None:
+            return self._batch.f16(self._idx)
+        return self.numpy()
+
+    @property
+    def shape(self):
+        src = self._host if self._host is not None else self._dev
+        return tuple(src.shape)
+
+    def __array__(self, dtype=None, copy=None):
+        a = self.numpy()
+        if dtype is not None and a.dtype != np.dtype(dtype):
+            return a.astype(dtype)
+        return a.copy() if copy else a
+
+
+def as_flow_host(flow, prefer_f16: bool = True) -> np.ndarray | None:
+    """Host array view of a flow argument (FlowField or ndarray or None)."""
+    if flow is None:
+        return None
+    if isinstance(flow, FlowField):
+        return flow.numpy_f16() if prefer_f16 else flow.numpy()
+    return np.asarray(flow)
+
+
 class FlowPair(NamedTuple):
     """Per-frame flow fields when flow_type != FLOW_BACKWARD
     (flow_reader.cpp:277-303: forward = calc(prev, cur), backward =
@@ -235,6 +326,7 @@ def flow_to_hsv_bgr(flow: np.ndarray) -> np.ndarray:
     H=(atan2(y,x)/pi+1)*90, S=V=min(|f|*20, 255))."""
     import cv2
 
+    flow = as_flow_host(flow)
     x, y = flow[..., 0], flow[..., 1]
     hsv = np.empty((*x.shape, 3), np.uint8)
     hsv[..., 0] = ((np.arctan2(y, x) / np.pi + 1.0) * 90.0).astype(np.uint8)
@@ -330,12 +422,13 @@ class FlowEngine:
             return bwd
         return FlowPair(fwd, bwd)
 
-    def _read_cached(self) -> np.ndarray | FlowPair | None:
+    def _read_cached(self) -> FlowField | FlowPair | None:
         fwd = (self._reader.read()
                if self.flow_type in (FLOW_FORWARD, FLOW_BOTH) else None)
         bwd = (self._reader.read()
                if self.flow_type in (FLOW_BACKWARD, FLOW_BOTH) else None)
-        return self._wrap(fwd, bwd)
+        return self._wrap(None if fwd is None else FlowField(host=fwd),
+                          None if bwd is None else FlowField(host=bwd))
 
     def _write_cached(self, fwd, bwd):
         if self._writer is None:
@@ -359,9 +452,9 @@ class FlowEngine:
             prev = jnp.asarray(self._prev_gray)
             fwd = bwd = None
             if self.flow_type in (FLOW_FORWARD, FLOW_BOTH):
-                fwd = np.asarray(tvl1_flow(prev, cur, self.params))
+                fwd = FlowField(dev=tvl1_flow(prev, cur, self.params))
             if self.flow_type in (FLOW_BACKWARD, FLOW_BOTH):
-                bwd = np.asarray(tvl1_flow(cur, prev, self.params))
+                bwd = FlowField(dev=tvl1_flow(cur, prev, self.params))
             self._write_cached(fwd, bwd)
             flow = self._wrap(fwd, bwd)
         self._prev_gray = gray
@@ -405,13 +498,20 @@ class FlowEngine:
         n_pad = self.batch - n_real if pad_to_batch else 0
         prevs_a = jnp.asarray(np.stack(prevs + [prevs[-1]] * n_pad))
         curs_a = jnp.asarray(np.stack(grays + [grays[-1]] * n_pad))
+
+        def fields(dev_batch):
+            """Per-frame FlowField handles over one batched device result;
+            the batch stays on device — host copies download lazily, f16,
+            one transfer for the whole batch (see _LazyFlowBatch)."""
+            lazy = _LazyFlowBatch(dev_batch)
+            return [FlowField(dev=dev_batch[i], batch=lazy, idx=i)
+                    for i in range(n_real)]
+
         fwds = bwds = [None] * n_real
         if self.flow_type in (FLOW_BACKWARD, FLOW_BOTH):
-            bwds = np.asarray(tvl1_flow_batch(curs_a, prevs_a,
-                                              self.params))[:n_real]
+            bwds = fields(tvl1_flow_batch(curs_a, prevs_a, self.params))
         if self.flow_type in (FLOW_FORWARD, FLOW_BOTH):
-            fwds = np.asarray(tvl1_flow_batch(prevs_a, curs_a,
-                                              self.params))[:n_real]
+            fwds = fields(tvl1_flow_batch(prevs_a, curs_a, self.params))
         out = []
         for (idx, frame, gray), fw, bw in zip(self._pending, fwds, bwds):
             self._write_cached(fw, bw)

@@ -182,7 +182,13 @@ class RegionSegmentation:
         fb = fm = None
         if flow is not None:
             self._has_flow = True
-            flow = np.asarray(flow, np.float32)
+            # FlowField handles serve a half-width (f16) host copy shared
+            # with the dense stage's connectedness download — binning is
+            # insensitive to the cast, and the exact f32 stays on device.
+            if hasattr(flow, "numpy_f16"):
+                flow = flow.numpy_f16().astype(np.float32)
+            else:
+                flow = np.asarray(flow, np.float32)
             ang = (np.arctan2(flow[..., 1], flow[..., 0])
                    / (2.0 * np.pi + 1e-4) + 0.5)
             fb = np.clip((ang * self.options.flow_bins).astype(np.int32),

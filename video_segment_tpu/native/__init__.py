@@ -62,6 +62,11 @@ def _load():
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int32, ctypes.c_double,
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64)]
+    lib.neighbor_pairs.restype = ctypes.c_int64
+    lib.neighbor_pairs.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64]
     lib.weighted_bincount.restype = None
     lib.weighted_bincount.argtypes = [
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_float),
@@ -175,6 +180,32 @@ def weighted_bincount(keys: np.ndarray, weights: np.ndarray, m: int,
         len(keys), m, n_threads,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     return out
+
+
+def neighbor_pairs(labels: np.ndarray,
+                   n_threads: int = 0) -> np.ndarray | None:
+    """Unique adjacent (a,b) pairs (a<b, packed-int64 dedup) over a (T,H,W)
+    int32 label volume — fused single-pass version of
+    ops/rle.neighbor_pairs; None when the native library is unavailable
+    (labels must be non-negative and < 2^31)."""
+    lib = _load()
+    if lib is None:
+        return None
+    labels = np.ascontiguousarray(labels, np.int32)
+    t, h, w = labels.shape
+    cap = 1 << 21
+    while True:
+        out = np.empty(cap, np.int64)
+        n = lib.neighbor_pairs(
+            labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            t, h, w,
+            n_threads if n_threads > 0 else min(8, os.cpu_count() or 1),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), cap)
+        if n >= 0:
+            packed = out[:n]
+            return np.stack([packed >> 32, packed & 0xFFFFFFFF],
+                            axis=1).astype(np.int32)
+        cap *= 4
 
 
 def link_tubes(region, area, cx, cy, mx, my, offsets, diag_thresh):

@@ -247,4 +247,77 @@ int64_t link_tubes(const int64_t* region, const double* area,
   return n_tubes;
 }
 
+// Unique adjacent (a,b) region pairs (a<b) over a (t,h,w) int32 label
+// volume: spatial N8 forward offsets within frames plus temporal identity
+// — the same adjacency set as ops/rle.neighbor_pairs (the dominant subset
+// of the reference's replayed edge set, segmentation_graph.h:466-496),
+// fused into one pass instead of five full-volume NumPy traversals.
+// Threads own disjoint frame ranges (temporal seam pairs belong to the
+// earlier frame's thread); per-thread key vectors are locally
+// deduplicated, merged, and globally deduplicated.  Writes packed
+// (lo << 32 | hi) keys to out (capacity max_pairs); returns the unique
+// pair count, or -1 if it exceeds max_pairs.
+int64_t neighbor_pairs(const int32_t* labels, int32_t t, int32_t h,
+                       int32_t w, int32_t n_threads, int64_t* out,
+                       int64_t max_pairs) {
+  const int64_t hw = static_cast<int64_t>(h) * w;
+  n_threads = std::max(1, std::min(n_threads, t));
+  std::vector<std::vector<int64_t>> parts(n_threads);
+
+  auto pack = [](int32_t a, int32_t b) -> int64_t {
+    const int64_t lo = a < b ? a : b;
+    const int64_t hi = a < b ? b : a;
+    return (lo << 32) | hi;
+  };
+
+  auto worker = [&](int32_t k) {
+    const int32_t f_lo = static_cast<int32_t>(
+        static_cast<int64_t>(t) * k / n_threads);
+    const int32_t f_hi = static_cast<int32_t>(
+        static_cast<int64_t>(t) * (k + 1) / n_threads);
+    std::vector<int64_t>& keys = parts[k];
+    for (int32_t f = f_lo; f < f_hi; ++f) {
+      const int32_t* fr = labels + f * hw;
+      const int32_t* nxt = (f + 1 < t) ? fr + hw : nullptr;
+      for (int32_t y = 0; y < h; ++y) {
+        const int32_t* row = fr + static_cast<int64_t>(y) * w;
+        const int32_t* below =
+            (y + 1 < h) ? row + w : nullptr;
+        const int32_t* trow =
+            nxt ? nxt + static_cast<int64_t>(y) * w : nullptr;
+        for (int32_t x = 0; x < w; ++x) {
+          const int32_t c = row[x];
+          if (x + 1 < w && row[x + 1] != c) keys.push_back(pack(c, row[x + 1]));
+          if (below) {
+            if (below[x] != c) keys.push_back(pack(c, below[x]));
+            if (x + 1 < w && below[x + 1] != c)
+              keys.push_back(pack(c, below[x + 1]));
+            if (x > 0 && below[x - 1] != c)
+              keys.push_back(pack(c, below[x - 1]));
+          }
+          if (trow && trow[x] != c) keys.push_back(pack(c, trow[x]));
+        }
+      }
+    }
+    std::sort(keys.begin(), keys.end());
+    keys.erase(std::unique(keys.begin(), keys.end()), keys.end());
+  };
+
+  std::vector<std::thread> threads;
+  for (int32_t k = 1; k < n_threads; ++k) threads.emplace_back(worker, k);
+  worker(0);
+  for (auto& th : threads) th.join();
+
+  size_t total = 0;
+  for (const auto& p : parts) total += p.size();
+  std::vector<int64_t> merged;
+  merged.reserve(total);
+  for (const auto& p : parts) merged.insert(merged.end(), p.begin(), p.end());
+  std::sort(merged.begin(), merged.end());
+  merged.erase(std::unique(merged.begin(), merged.end()), merged.end());
+  if (static_cast<int64_t>(merged.size()) > max_pairs) return -1;
+  std::copy(merged.begin(), merged.end(), out);
+  return static_cast<int64_t>(merged.size());
+}
+
 }  // extern "C"

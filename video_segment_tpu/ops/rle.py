@@ -92,6 +92,15 @@ def neighbor_pairs(labels: np.ndarray) -> np.ndarray:
     Adjacency: N8 within frames plus temporal identity (the dominant subset
     of the reference's replayed edge set, segmentation_graph.h:466-496).
     """
+    # Fused native pass when available (one traversal vs five full-volume
+    # NumPy passes — the dense host tail's largest single item at 480p+).
+    if labels.ndim == 3 and labels.size and labels.min() >= 0:
+        from video_segment_tpu import native
+
+        out = native.neighbor_pairs(labels)
+        if out is not None:
+            return out
+
     pairs = []
 
     def collect(a, b):

@@ -41,7 +41,9 @@ def main(argv=None):
 
     def flow_to_hsv(flow):
         """HSV flow rendering (flow_reader.cpp:306-330)."""
-        mag, ang = cv2.cartToPolar(flow[..., 0], flow[..., 1])
+        flow = flow_mod.as_flow_host(flow)
+        mag, ang = cv2.cartToPolar(flow[..., 0].astype(np.float32),
+                                   flow[..., 1].astype(np.float32))
         hsv = np.zeros((*mag.shape, 3), np.uint8)
         hsv[..., 0] = (ang * 180 / np.pi / 2).astype(np.uint8)
         hsv[..., 1] = 255
