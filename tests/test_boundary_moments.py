@@ -75,3 +75,27 @@ def test_region_boundary_pixels():
     b = boundary.region_boundary(lab, 3)
     assert len(b) == 12  # 4x4 block: perimeter pixels
     assert (b.min() >= 2) and (b.max() <= 5)
+
+
+def test_thin_straight_region_keeps_ring():
+    """A 1-px-wide straight region whose side segments each simplify to a
+    2-point diagonal must fall back to unsimplified crack points instead of
+    losing its ring (raster-free upscaled streams would drop the region)."""
+    from video_segment_tpu.segment_util import joint_boundary as jb
+
+    lab = np.zeros((8, 8), np.int64)
+    lab[2:6, 3] = 1      # 4x1 vertical line
+    lab[2:6, 2] = 2      # side neighbors force junctions at the ends
+    lab[2:6, 4] = 3
+    lab[1, 3] = 4
+    lab[6, 3] = 5
+    mesh, polys = jb.compute_vectorization(lab)
+    poly_sets = []
+    for rid in np.unique(lab):
+        plist = polys.get(int(rid), [])
+        assert plist, f"region {rid} lost its polygons"
+        rings = [np.stack([mesh[idx], mesh[idx + 1]], axis=1)
+                 for idx, hole in plist]
+        poly_sets.append((int(rid), rings))
+    back = jb.rasterize_polygons(8, 8, poly_sets)
+    np.testing.assert_array_equal(back, lab)

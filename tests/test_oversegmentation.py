@@ -272,3 +272,24 @@ def test_finalize_level_gates_by_bucket():
         res = ov.oversegment(vol, init_label=jnp.asarray(init), fin=fin,
                              params=params)
         assert len(np.unique(np.asarray(res.label))) == want, fin_level
+
+
+def test_min_size_interleave_forces_early():
+    """Interleaved min-size rounds absorb sub-min-size fragments along
+    edges the current schedule level has reached (segmentation_graph.h:
+    407-415 in-traversal forcing); output stays a full covering with no
+    sub-min-size survivors that have mergeable neighbors."""
+    rng = np.random.default_rng(7)
+    h, w = 16, 24
+    vol = np.full((2, h, w, 3), 0.5, np.float32)
+    # Speckle of strongly-contrasting single pixels inside a flat field:
+    # each becomes a tiny region that only min-size forcing can remove.
+    ys, xs = rng.integers(2, h - 2, 12), rng.integers(2, w - 2, 12)
+    vol[:, ys, xs] = 0.95
+    for inter in (0, 2):
+        res = ov.oversegment(jnp.asarray(vol), params=_params(
+            min_region_size=8, min_size_interleave=inter))
+        lab = _labels_np(res)
+        assert lab.shape == (2, h, w)
+        _, counts = np.unique(lab, return_counts=True)
+        assert counts.min() >= 8, (inter, counts.min())

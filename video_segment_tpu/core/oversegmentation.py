@@ -180,6 +180,13 @@ class OversegParams(NamedTuple):
     # reference-faithful setting, so the default is 1.0; the margin knob
     # remains for tuning.
     preseg_fin_margin: float = 1.0
+    # Run theta-gated min-size forcing rounds after each schedule level's
+    # merge rounds, mirroring the reference's in-traversal small-region
+    # absorption (segmentation_graph.h:407-415: a failed merge test whose
+    # endpoint is below min_region_size merges immediately at the current
+    # bucket) instead of only in the single end-of-schedule pass.  0 = off
+    # (end pass only); N>0 = N forcing rounds per schedule level.
+    min_size_interleave: int = 0
 
 
 class SolverState(NamedTuple):
@@ -543,7 +550,9 @@ def _round(state: SolverState, vol, flow, theta, up, mode, n, sink,
                        & (dd <= p.split_threshold))
         adm_merge = (d.bucket <= theta) & (regular | constr_same)
         both_constr_diff = (~either_free) & (own_constr != d.nb_constr)
-        adm_small = own_small & ~both_constr_diff
+        # theta-gated (see the table variant): the final pass passes
+        # theta=NUM_BUCKETS, interleaved passes the level's theta.
+        adm_small = own_small & ~both_constr_diff & (d.bucket <= theta)
         adm = act & jnp.where(is_min_size, adm_small, adm_merge)
         bkt = jnp.where(adm, d.bucket, _I32MAX)
         take = adm & ((bkt < best_bucket)
@@ -780,7 +789,11 @@ def _table_round(ts: SolverState, ptn, pbk, theta, up, mode, nseg, sink,
     adm_merge = (pbk <= theta) & (regular | constr_same)
     both_constr_diff = (~either_free) & (own_constr[:, None] != nb_constr)
     own_small = own_size < p.min_region_size
-    adm_small = own_small[:, None] & ~both_constr_diff
+    # theta-gated like regular merges: interleaved min-size rounds only
+    # force-merge along edges the current bucket level has reached
+    # (segmentation_graph.h:407-415 runs inside the bucket traversal); the
+    # final min-size pass hands theta=NUM_BUCKETS, i.e. ungated.
+    adm_small = own_small[:, None] & ~both_constr_diff & (pbk <= theta)
     is_min_size = mode == MODE_MIN_SIZE
     adm = live & jnp.where(is_min_size, adm_small, adm_merge)
 
@@ -1005,8 +1018,14 @@ def _solve(vol, flow, init_label, constr_init, frozen_init, fin_init,
         def level_body(l, state):
             state = run_rounds(state, thetas[l], level_rounds[l],
                                jnp.int32(MODE_MERGE), n, sink, use_temporal)
-            return _level_end(state, vol, fl, thetas[l], n, params,
-                              use_temporal)
+            state = _level_end(state, vol, fl, thetas[l], n, params,
+                               use_temporal)
+            if params.min_size_interleave and params.min_region_size > 1:
+                state = run_rounds(state, thetas[l],
+                                   jnp.int32(params.min_size_interleave),
+                                   jnp.int32(MODE_MIN_SIZE), n, sink,
+                                   use_temporal)
+            return state
         return level_body
 
     if params.two_stage:
@@ -1394,6 +1413,10 @@ def _finish_table_solve(ts, tab, memb, orig_slot, init_label, shape3,
                              jnp.int32(MODE_MERGE), ptn, pbk)
             ts_ = _table_level_end(ts_, end_tab, thetas[l_], cap, sink,
                                    params)
+            if params.min_size_interleave and params.min_region_size > 1:
+                ts_ = run_rounds(ts_, thetas[l_],
+                                 jnp.int32(params.min_size_interleave),
+                                 jnp.int32(MODE_MIN_SIZE), ptn, pbk)
             act_ = jnp.sum(((ts_.label == slots_c)
                             & (ts_.size > 0)).astype(jnp.int32))
             return ts_, l_ + 1, act_

@@ -186,16 +186,16 @@ def _simplify(points: np.ndarray, max_error: float) -> np.ndarray:
 def _assemble(region_segments):
     """Order a region's oriented segments into closed rings.
 
-    region_segments: list of (pts (K,2), first_dir, last_dir) oriented so
-    the region is on the LEFT.  Returns list of rings (each a list of
-    segment point arrays whose concatenation closes).
+    region_segments: list of (pts (K,2), first_dir, last_dir, ...) oriented
+    so the region is on the LEFT.  Returns list of rings (each a list of
+    indices into region_segments, in traversal order).
     At degree-4 corners a region can own two incoming and two outgoing
     segments; the sharpest-left-turn rule (planar face traversal) picks the
     continuation that keeps the region interior on the left.
     """
     by_start: dict[tuple, list] = {}
-    for i, (pts, fd, ld) in enumerate(region_segments):
-        by_start.setdefault(tuple(pts[0]), []).append(i)
+    for i, seg in enumerate(region_segments):
+        by_start.setdefault(tuple(seg[0][0]), []).append(i)
     used = [False] * len(region_segments)
     rings = []
     for i0 in range(len(region_segments)):
@@ -205,8 +205,8 @@ def _assemble(region_segments):
         i = i0
         while True:
             used[i] = True
-            pts, fd, ld = region_segments[i]
-            ring.append(pts)
+            pts, fd, ld = region_segments[i][:3]
+            ring.append(i)
             key = tuple(pts[-1])
             cands = [j for j in by_start.get(key, []) if not used[j]]
             if not cands:
@@ -238,20 +238,32 @@ def compute_vectorization(label_img: np.ndarray, region_ids=None,
     segments = trace_segments(label_img)
     simplified = [_simplify(s["points"], max_error) for s in segments]
 
-    # Oriented views per region.
+    # Oriented views per region; each entry carries the UNSIMPLIFIED
+    # points too so degenerate rings can fall back to them (a 1-px-wide
+    # straight region's two side segments each simplify to a 2-point
+    # diagonal within max_error — the assembled ring then has < 3 points
+    # and would vanish, breaking the raster-free upscale contract).
     per_region: dict[int, list] = {}
     for s, sp in zip(segments, simplified):
         p = sp
         if len(p) < 2:
             continue
-        fdir = _dir_of(p[0], p[1])
-        ldir = _dir_of(p[-2], p[-1])
+        orig = s["points"]
+        # First/last directions come from the UNSIMPLIFIED crack points:
+        # simplified segments can enter/leave junctions diagonally, and a
+        # snapped direction mis-ranks the sharpest-left-turn rule at
+        # degree-4 corners — rings then fail to close (degenerate
+        # collinear polygons in raster-free streams).
+        fdir = _dir_of(orig[0], orig[1])
+        ldir = _dir_of(orig[-2], orig[-1])
         if s["left"] >= 0:
-            per_region.setdefault(s["left"], []).append((p, fdir, ldir))
+            per_region.setdefault(s["left"], []).append(
+                (p, fdir, ldir, orig))
         if s["right"] >= 0:
-            pr = p[::-1]
+            orr = orig[::-1]
             per_region.setdefault(s["right"], []).append(
-                (pr, _dir_of(pr[0], pr[1]), _dir_of(pr[-2], pr[-1])))
+                (p[::-1], _dir_of(orr[0], orr[1]),
+                 _dir_of(orr[-2], orr[-1]), orr))
 
     vertex_pool: dict[tuple, int] = {}
     coords: list[float] = []
@@ -270,7 +282,13 @@ def compute_vectorization(label_img: np.ndarray, region_ids=None,
         rings = _assemble(rsegs)
         plist = []
         for ring in rings:
-            pts = np.concatenate([p[:-1] for p in ring], axis=0)
+            pts = np.concatenate([rsegs[i][0][:-1] for i in ring], axis=0)
+            if len(pts) < 3:
+                # Degenerate after simplification (thin straight region):
+                # rebuild the ring from the unsimplified crack points so
+                # the region keeps valid geometry.
+                pts = np.concatenate([rsegs[i][3][:-1] for i in ring],
+                                     axis=0)
             if len(pts) < 3:
                 continue
             # Shoelace in y-down coords; region-on-left traversal makes
@@ -322,6 +340,8 @@ def rasterize_polygons(h, w, poly_sets):
         ey = np.concatenate(eys)                  # (E,2) y0,y1
         nonh = ey[:, 0] != ey[:, 1]
         ex, ey = ex[nonh], ey[nonh]
+        if not len(ey):      # degenerate ring (all-horizontal): no pixels
+            continue
         ylo = np.minimum(ey[:, 0], ey[:, 1])
         yhi = np.maximum(ey[:, 0], ey[:, 1])
         y0r = max(int(np.floor(ylo.min() - 0.5)), 0)
