@@ -274,6 +274,34 @@ def test_finalize_level_gates_by_bucket():
         assert len(np.unique(np.asarray(res.label))) == want, fin_level
 
 
+def test_fin_every_round_valid_covering():
+    """Per-round failure scans (fin_every_round) freeze a region as soon
+    as a merge test fails, mirroring the reference's per-edge finalization
+    in strict ascending bucket order (segmentation_graph.h:383-402).  The
+    output must stay a full covering, be at least as fine as the
+    level-end-only scan on contrasty content, and agree exactly with it
+    on clean piecewise-constant input (no admissible test ever fails
+    there, so the extra scans are no-ops)."""
+    h, w = 12, 12
+    flat = np.zeros((1, h, w, 3), np.float32)
+    flat[:, : h // 2] = 0.9
+    rng = np.random.default_rng(3)
+    noisy = rng.uniform(0, 1, size=(2, h, w, 3)).astype(np.float32)
+    for vol, exact in ((flat, True), (noisy, False)):
+        labs = {}
+        for fer in (False, True):
+            res = ov.oversegment(jnp.asarray(vol),
+                                 params=_params(fin_every_round=fer))
+            lab = _labels_np(res)
+            assert lab.shape == vol.shape[:3]
+            labs[fer] = lab
+        n_off = len(np.unique(labs[False]))
+        n_on = len(np.unique(labs[True]))
+        assert n_on >= n_off, (n_on, n_off)
+        if exact:
+            assert n_on == n_off == 2
+
+
 def test_min_size_interleave_forces_early():
     """Interleaved min-size rounds absorb sub-min-size fragments along
     edges the current schedule level has reached (segmentation_graph.h:

@@ -187,6 +187,15 @@ class OversegParams(NamedTuple):
     # bucket) instead of only in the single end-of-schedule pass.  0 = off
     # (end pass only); N>0 = N forcing rounds per schedule level.
     min_size_interleave: int = 0
+    # Re-run the failed-merge-test scan BEFORE every merge round instead of
+    # only at level end.  The reference tests each edge exactly when its
+    # bucket is reached and finalizes both endpoints on the first failure
+    # (segmentation_graph.h:383-402) — with level-end-only scans, a region
+    # can keep growing through several Boruvka rounds after a failure the
+    # reference would already have frozen it on.  Per-round scans cost one
+    # extra table pass per round (O(table)) and track the reference's
+    # strict ascending-order finalization much more closely.
+    fin_every_round: bool = False
 
 
 class SolverState(NamedTuple):
@@ -986,16 +995,21 @@ def _solve(vol, flow, init_label, constr_init, frozen_init, fin_init,
                         sqsum)
 
     def run_rounds(state, theta, max_rounds, mode, n, sink,
-                   use_temporal=True):
+                   use_temporal=True, fin_each=False):
         # Hook parity alternates per round.  Terminate immediately once no
         # admissible edges remain, or after two merge-free rounds (both
         # parities blocked).
+        scan_each = fin_each and params.fin_every_round
+
         def cond(carry):
             st, i, idle = carry
             return (idle < 2) & (i < max_rounds)
 
         def body(carry):
             st, i, idle = carry
+            if scan_each:
+                st = _level_end(st, vol, fl, theta, n, params,
+                                use_temporal)
             st, moved, cands = _round(st, vol, fl, theta, (i % 2) == 0,
                                       mode, n, sink, params, use_temporal)
             idle = jnp.where(cands == 0, 2,
@@ -1017,7 +1031,8 @@ def _solve(vol, flow, init_label, constr_init, frozen_init, fin_init,
     def make_level_body(n, sink, use_temporal=True):
         def level_body(l, state):
             state = run_rounds(state, thetas[l], level_rounds[l],
-                               jnp.int32(MODE_MERGE), n, sink, use_temporal)
+                               jnp.int32(MODE_MERGE), n, sink, use_temporal,
+                               fin_each=True)
             state = _level_end(state, vol, fl, thetas[l], n, params,
                                use_temporal)
             if params.min_size_interleave and params.min_region_size > 1:
@@ -1324,9 +1339,16 @@ def _finish_table_solve(ts, tab, memb, orig_slot, init_label, shape3,
     nseg0 = ts.label.shape[0]
     n_levels = thetas.shape[0]
 
-    def run_rounds(ts, theta, max_rounds, mode, p_tab, b_tab):
+    def run_rounds(ts, theta, max_rounds, mode, p_tab, b_tab,
+                   end_tab=None):
         cap = p_tab.shape[0]
         sink = cap - 1
+        # `end_tab` is only passed at MERGE call sites; with
+        # params.fin_every_round the failure scan runs before every round
+        # so a failed test blocks further growth immediately (the
+        # reference's per-edge finalization, segmentation_graph.h:383-402)
+        # instead of only at the next level boundary.
+        scan_each = end_tab is not None and params.fin_every_round
 
         def cond(carry):
             st, i, idle = carry
@@ -1334,6 +1356,9 @@ def _finish_table_solve(ts, tab, memb, orig_slot, init_label, shape3,
 
         def body(carry):
             st, i, idle = carry
+            if scan_each:
+                st = _table_level_end(st, end_tab, theta, cap, sink,
+                                      params)
             st, moved, cands = _table_round(st, p_tab, b_tab, theta,
                                             (i % 2) == 0, mode, cap, sink,
                                             params)
@@ -1357,7 +1382,8 @@ def _finish_table_solve(ts, tab, memb, orig_slot, init_label, shape3,
 
         def level_body_s(l, ts):
             ts = run_rounds(ts, thetas[l], level_rounds[l],
-                            jnp.int32(MODE_MERGE), ptn_s, pbk_s)
+                            jnp.int32(MODE_MERGE), ptn_s, pbk_s,
+                            end_tab=tab_sp)
             return _table_level_end(ts, tab_sp,
                                     thetas[l], nseg0, nseg0 - 1, params)
 
@@ -1410,7 +1436,8 @@ def _finish_table_solve(ts, tab, memb, orig_slot, init_label, shape3,
                  sink=sink, slots_c=slots_c):
             ts_, l_, act_ = carry
             ts_ = run_rounds(ts_, thetas[l_], level_rounds[l_],
-                             jnp.int32(MODE_MERGE), ptn, pbk)
+                             jnp.int32(MODE_MERGE), ptn, pbk,
+                             end_tab=end_tab)
             ts_ = _table_level_end(ts_, end_tab, thetas[l_], cap, sink,
                                    params)
             if params.min_size_interleave and params.min_region_size > 1:
