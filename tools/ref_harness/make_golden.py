@@ -144,9 +144,16 @@ def main() -> None:
             g, o = golden_ids[frac], our_ids[frac]
             t = min(len(g), len(o))
             m = boundary_f_measure(g[:t], o[:t])
+            # Granularity diagnostic: mean regions/frame at this level for
+            # both sides (the base-level count gap is the quality lever).
+            m["regions_ref"] = round(float(np.mean(
+                [len(np.unique(fr)) for fr in g[:t]])), 1)
+            m["regions_ours"] = round(float(np.mean(
+                [len(np.unique(fr)) for fr in o[:t]])), 1)
             results[str(frac)] = m
             print(f"level {frac}: F={m['f_measure']:.4f} "
-                  f"P={m['precision']:.4f} R={m['recall']:.4f}")
+                  f"P={m['precision']:.4f} R={m['recall']:.4f} "
+                  f"n_ref={m['regions_ref']} n_ours={m['regions_ours']}")
         with open(args.out_json, "w") as f:
             json.dump(results, f, indent=2)
         print("wrote", args.out_json)
