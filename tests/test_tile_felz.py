@@ -96,3 +96,26 @@ def test_init_table_cell_stats_fast_path(textured_vol):
     np.testing.assert_array_equal(np.asarray(ts_s.fin), np.asarray(ts_f.fin))
     np.testing.assert_array_equal(np.asarray(ts_s.constr),
                                   np.asarray(ts_f.constr))
+
+
+def test_kernel_matches_mirror_eager_gated(textured_vol):
+    """fin_eager + fin_gated variants: kernel == mirror (exact labels),
+    and eager freezing yields at least as many regions as level-end-only
+    scans (earlier fins can only block merges)."""
+    vol = textured_vol[:1]
+    lab_base = None
+    for eager, gated in ((True, False), (False, True), (True, True)):
+        lab_k, fin_k, _ = tile_felz.tile_felzenszwalb(
+            jnp.asarray(vol), schedule=(4, 32, 96),
+            fin_eager=eager, fin_gated=gated)
+        lab_m, fin_m, _ = tile_felz.tile_felz_reference(
+            vol, schedule=(4, 32, 96), fin_eager=eager, fin_gated=gated)
+        np.testing.assert_array_equal(np.asarray(lab_k), lab_m)
+        agree = (np.asarray(fin_k) == fin_m).mean()
+        assert agree > 0.97, f"fin agreement {agree} ({eager},{gated})"
+        if lab_base is None:
+            lab_d, _, _ = tile_felz.tile_felzenszwalb(
+                jnp.asarray(vol), schedule=(4, 32, 96))
+            lab_base = len(np.unique(np.asarray(lab_d)))
+        if eager:
+            assert len(np.unique(np.asarray(lab_k))) >= lab_base

@@ -274,9 +274,12 @@ class DenseSegmentation:
         from video_segment_tpu.ops import tile_felz
         return tile_felz.tile_felzenszwalb(
             img[None], schedule=self._params.preseg_schedule,
+            rounds_per_level=self._params.preseg_rounds_per_level,
             merge_threshold=self._params.merge_threshold,
             metric=self.options.color_distance,
-            fin_margin=self._params.preseg_fin_margin)
+            fin_margin=self._params.preseg_fin_margin,
+            fin_eager=self._params.preseg_fin_eager,
+            fin_gated=self._params.preseg_fin_gated)
 
     # -- streaming --------------------------------------------------------
 

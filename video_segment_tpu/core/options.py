@@ -91,17 +91,18 @@ class RegionSegmentationOptions:
     # Memory scales with windows x regions x bins — intended for coarse
     # windows (>= chunk_size / 2).
     appearance_window_size: int = 0
-
-
-@dataclasses.dataclass
-class SegmentationOptions:
-    min_region_size: int = 200
-    two_stage_segmentation: bool = False
-    enforce_n4_connectivity: bool = True
-    enforce_spatial_connectedness: bool = True
-    thin_structure_suppression: bool = False
-    compute_vectorization: bool = False
-    level_cutoff_fraction: float = 0.8
-    min_region_num: int = 10
-    max_region_num: int = 2000
-    num_domain_buckets: int = 2048
+    # Agglomeration order fidelity: phases whose region table is <= this
+    # cap re-aggregate statistics and re-evaluate edge distances at every
+    # subround (the fine-grained approximation of the reference's
+    # re-evaluation after every single merge,
+    # region_segmentation_graph.cpp:409-503).  16384 covers the base level
+    # (max_region_num defaults to 10000), so no level merges on frozen
+    # distances; lower to 1024 to trade fidelity for agglomeration time.
+    agglo_reeval_cap: int = 16384
+    # Merge subrounds per hierarchy level; the level budget splits across
+    # them, so more subrounds = fewer merges per distance re-evaluation.
+    agglo_subrounds: int = 6
+    # Emit per-region appearance/flow descriptors into the output stream
+    # (RegionFeatures, segmentation.cpp:491-501; AddToRegionFeatures,
+    # region_descriptor.cpp).  Off by default, as in the reference.
+    save_descriptors: bool = False

@@ -196,6 +196,30 @@ class OversegParams(NamedTuple):
     # extra table pass per round (O(table)) and track the reference's
     # strict ascending-order finalization much more closely.
     fin_every_round: bool = False
+    # Eager per-round finalization INSIDE the tile preseg: failed merge
+    # tests freeze both endpoints with a one-round lag instead of only at
+    # level ends.  The preseg schedule reaches bucket 96 (~distance 0.047,
+    # just under the 0.05 merge gate), so most texture-scale merge/freeze
+    # decisions happen in-tile — the global fin_every_round knob cannot
+    # recover detail the preseg already merged through
+    # (segmentation_graph.h:383-402 eager semantics).
+    preseg_fin_eager: bool = False
+    # Gate the tile preseg's failure scans like the reference's merge test
+    # (segmentation_graph.h:388: "Only test if neither region is
+    # finalized"): an edge to an already-finalized neighbor cannot
+    # finalize this region.  The global table scan is already gated this
+    # way (_table_level_end); ungated tile scans over-fragment smooth
+    # areas via spurious finalization.
+    preseg_fin_gated: bool = False
+    # Boruvka merge rounds per tile-preseg schedule level.
+    preseg_rounds_per_level: int = 2
+    # Extract the region adjacency with the per-tile Pallas kernel
+    # (ops/tile_extract) instead of O(pixels) packed segment-min scatters:
+    # preseg regions are tile-local, so per-(region, direction) minima
+    # reduce in VMEM and the table gathers from root cells.  Requires the
+    # tile-preseg init path and flow-absent chunks; anything else falls
+    # back to the XLA scatter path.
+    extract_tile: bool = False
 
 
 class SolverState(NamedTuple):

@@ -467,7 +467,9 @@ class RegionSegmentation:
             cutoff_fraction=opts.level_cutoff_fraction,
             penalizer=opts.small_region_penalizer,
             use_flow=self._has_flow and opts.use_flow,
-            constraints=constraints, win_hist=whist, win_cnt=wcnt)
+            constraints=constraints, win_hist=whist, win_cnt=wcnt,
+            reeval_cap=opts.agglo_reeval_cap,
+            max_subrounds=opts.agglo_subrounds)
         if not levels_raw:
             levels_raw = [np.arange(rcap, dtype=np.int32)]
         if timing:

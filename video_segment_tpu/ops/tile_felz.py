@@ -151,7 +151,8 @@ def _dist(a, b, metric):
 
 
 def _solve_subtile(color3, gy, gx, h, w, *, schedule, rounds_per_level,
-                   merge_threshold, metric, fin_margin):
+                   merge_threshold, metric, fin_margin,
+                   fin_eager=False, fin_gated=False):
     """Full local solve of one (8,128) subtile.  Returns flat local root
     label (8,128) int32 in [0,1024) and per-pixel fin flag (8,128) f32.
 
@@ -202,6 +203,9 @@ def _solve_subtile(color3, gy, gx, h, w, *, schedule, rounds_per_level,
         mean_px, fin_px = mean_px0[:3], mean_px0[3]   # f32 finalize level
         lab_flat = labr * TILE_W + labc
         best = jnp.full((TILE_H, TILE_W), _BIG, jnp.int32)
+        fbig = jnp.float32(float(_BIG))
+        fail = jnp.full((TILE_H, TILE_W), fbig, jnp.float32)
+        strong = jnp.full((TILE_H, TILE_W), fbig, jnp.float32)
         for k, (dy, dx) in enumerate(DIRS):
             nb_mean = [_roll2(m, dy, dx) for m in mean_px]
             nb_fin = _roll2(fin_px, dy, dx)
@@ -213,6 +217,30 @@ def _solve_subtile(color3, gy, gx, h, w, *, schedule, rounds_per_level,
                    & (dd < merge_threshold))
             cand = (buckets[k] << 10) | nb_lab
             best = jnp.minimum(best, jnp.where(adm, cand, _BIG))
+            if fin_eager:
+                # Eager finalization (one-round lag): a failed merge test
+                # freezes both endpoints at the failing bucket before the
+                # NEXT round instead of only at level end — the ascending
+                # per-edge order of segmentation_graph.h:383-402, where the
+                # first failure stops a region's growth immediately.  Gated
+                # like the reference's test (only edges between two not-yet-
+                # finalized regions count as tests).
+                bk = buckets[k].astype(jnp.float32)
+                act = (valids[k] & (buckets[k] <= theta)
+                       & (nb_lab != lab_flat)
+                       & (bk < fin_px) & (bk < nb_fin))
+                fail = jnp.minimum(
+                    fail, jnp.where(act & (dd >= merge_threshold), bk, fbig))
+                strong = jnp.minimum(
+                    strong,
+                    jnp.where(act & (dd >= merge_threshold * fin_margin),
+                              bk, fbig))
+        if fin_eager:
+            # Fold the existing tables through the aggregation (cell a's
+            # pixel carries label b after an a->b hook, so aggregating the
+            # table AS a pixel plane transfers orphaned fins to the root).
+            fin_t = _label_min_masked(labr, ohc, jnp.minimum(fail, fin_t))
+            fin_x = _label_min_masked(labr, ohc, jnp.minimum(strong, fin_x))
 
         best_t = _label_min(labr, ohc, best)
         partner = best_t & 1023
@@ -247,6 +275,7 @@ def _solve_subtile(color3, gy, gx, h, w, *, schedule, rounds_per_level,
         ohc_f = ohc.astype(jnp.float32)
         mean_px = region_views(labr, ohc_f)
         lab_flat = labr * TILE_W + labc
+        fin_px = _distribute(labr, ohc_f, fin_t) if fin_gated else None
         fail = jnp.full((TILE_H, TILE_W), _BIG, jnp.int32)
         strong = jnp.full((TILE_H, TILE_W), _BIG, jnp.int32)
         for k, (dy, dx) in enumerate(DIRS):
@@ -255,16 +284,32 @@ def _solve_subtile(color3, gy, gx, h, w, *, schedule, rounds_per_level,
             dd = _dist(mean_px, nb_mean, metric)
             act = (valids[k] & (buckets[k] <= theta)
                    & (nb_lab != lab_flat))
+            if fin_gated:
+                # Reference test gate (segmentation_graph.h:388): only
+                # edges between two not-yet-finalized regions are tested,
+                # so an edge to an already-finalized neighbor cannot
+                # finalize this region.
+                bk = buckets[k].astype(jnp.float32)
+                nb_fin = _roll2(fin_px, dy, dx)
+                act = act & (bk < fin_px) & (bk < nb_fin)
             bad = act & (dd >= merge_threshold)
             fail = jnp.minimum(fail, jnp.where(bad, buckets[k], _BIG))
             strong = jnp.minimum(
                 strong,
                 jnp.where(act & (dd >= merge_threshold * fin_margin),
                           buckets[k], _BIG))
-        fin_t = jnp.minimum(
-            fin_t, _label_min_masked(labr, ohc, fail.astype(jnp.float32)))
-        fin_x = jnp.minimum(
-            fin_x, _label_min_masked(labr, ohc, strong.astype(jnp.float32)))
+        fail_f = fail.astype(jnp.float32)
+        strong_f = strong.astype(jnp.float32)
+        if fin_eager:
+            # Transfer orphaned fins of merged-away roots (see merge_round).
+            fail_f = jnp.minimum(fail_f, fin_t)
+            strong_f = jnp.minimum(strong_f, fin_x)
+            fin_t = _label_min_masked(labr, ohc, fail_f)
+            fin_x = _label_min_masked(labr, ohc, strong_f)
+        else:
+            fin_t = jnp.minimum(fin_t, _label_min_masked(labr, ohc, fail_f))
+            fin_x = jnp.minimum(
+                fin_x, _label_min_masked(labr, ohc, strong_f))
         return labr, labc, fin_t, fin_x
 
     def body(i, carry):
@@ -317,7 +362,7 @@ def _solve_subtile(color3, gy, gx, h, w, *, schedule, rounds_per_level,
 
 def _kernel(vol_ref, out_ref, fin_ref, size_ref, c0_ref, c1_ref, c2_ref, *,
             h, w, band_h, schedule, rounds_per_level, merge_threshold,
-            metric, fin_margin):
+            metric, fin_margin, fin_eager, fin_gated):
     t_idx = pl.program_id(0)
     y_idx = pl.program_id(1)
     x_idx = pl.program_id(2)
@@ -334,7 +379,8 @@ def _kernel(vol_ref, out_ref, fin_ref, size_ref, c0_ref, c1_ref, c2_ref, *,
             color3, gy, gx, h, w, schedule=schedule,
             rounds_per_level=rounds_per_level,
             merge_threshold=merge_threshold,
-            metric=metric, fin_margin=fin_margin)
+            metric=metric, fin_margin=fin_margin,
+            fin_eager=fin_eager, fin_gated=fin_gated)
         # local root -> global voxel id
         root_y = y0 + (lab >> 7)
         root_x = x0 + (lab & 127)
@@ -355,13 +401,15 @@ def _kernel(vol_ref, out_ref, fin_ref, size_ref, c0_ref, c1_ref, c2_ref, *,
 @functools.partial(jax.jit,
                    static_argnames=("schedule", "rounds_per_level",
                                     "merge_threshold", "metric",
-                                    "fin_margin"))
+                                    "fin_margin", "fin_eager", "fin_gated"))
 def tile_felzenszwalb(vol: jnp.ndarray,
                       schedule: tuple = (4, 32, 192, 1024),
                       rounds_per_level: int = 2,
                       merge_threshold: float = 0.05,
                       metric: str = "l2",
-                      fin_margin: float = 1.0):
+                      fin_margin: float = 1.0,
+                      fin_eager: bool = False,
+                      fin_gated: bool = False):
     """(T,H,W,3) float volume -> (labels, fin, (size, c0, c1, c2)).
 
     `stats` are CELL-POSITIONED per-region statistics ((T,H,W) f32 each):
@@ -397,7 +445,8 @@ def tile_felzenszwalb(vol: jnp.ndarray,
                           schedule=schedule,
                           rounds_per_level=rounds_per_level,
                           merge_threshold=merge_threshold, metric=metric,
-                          fin_margin=fin_margin),
+                          fin_margin=fin_margin, fin_eager=fin_eager,
+                          fin_gated=fin_gated),
         out_shape=(jax.ShapeDtypeStruct((t, hp, wp), jnp.int32),
                    jax.ShapeDtypeStruct((t, hp, wp), jnp.int32),
                    jax.ShapeDtypeStruct((t, hp, wp), jnp.float32),
@@ -432,7 +481,9 @@ def tile_felz_reference(vol: np.ndarray, schedule=(4, 32, 192, 1024),
                         rounds_per_level: int = 2,
                         merge_threshold: float = 0.05,
                         metric: str = "l2",
-                        fin_margin: float = 1.0):
+                        fin_margin: float = 1.0,
+                        fin_eager: bool = False,
+                        fin_gated: bool = False):
     """Sequential NumPy mirror of the kernel, tile by tile."""
     t, h, w, _ = vol.shape
     out = np.zeros((t, h, w), np.int64)
@@ -448,7 +499,9 @@ def tile_felz_reference(vol: np.ndarray, schedule=(4, 32, 192, 1024),
                 pad[:hh, :ww] = vol[ti, y0:y0 + hh, x0:x0 + ww]
                 lab, fin = _ref_subtile(pad, hh, ww, schedule,
                                         rounds_per_level, merge_threshold,
-                                        metric, fin_margin)
+                                        metric, fin_margin,
+                                        fin_eager=fin_eager,
+                                        fin_gated=fin_gated)
                 ry, rx = lab[:hh, :ww] // TILE_W, lab[:hh, :ww] % TILE_W
                 out[ti, y0:y0 + hh, x0:x0 + ww] = \
                     ti * h * w + (y0 + ry) * w + (x0 + rx)
@@ -468,7 +521,7 @@ def tile_felz_reference(vol: np.ndarray, schedule=(4, 32, 192, 1024),
 
 
 def _ref_subtile(c, hh, ww, schedule, rounds_per_level, merge_threshold,
-                 metric, fin_margin=1.0):
+                 metric, fin_margin=1.0, fin_eager=False, fin_gated=False):
     def dist(a, b):
         d = a - b
         if metric == "l1":
@@ -519,6 +572,39 @@ def _ref_subtile(c, hh, ww, schedule, rounds_per_level, merge_threshold,
                        & (dd < merge_threshold))
                 cand = (bkt << 10) | nb_lab
                 best = np.minimum(best, np.where(adm, cand, BIG))
+            if fin_eager:
+                fail = np.full((TILE_H, TILE_W), BIG, np.int64)
+                strong = np.full((TILE_H, TILE_W), BIG, np.int64)
+                for dy, dx in DIRS:
+                    nb_lab = np.roll(np.roll(lab, -dy, axis=0), -dx, axis=1)
+                    nb_mean = np.roll(np.roll(mean_px, -dy, axis=0), -dx,
+                                      axis=1)
+                    nb_fin = np.roll(np.roll(fin_px, -dy, axis=0), -dx,
+                                     axis=1)
+                    dd = dist(mean_px, nb_mean)
+                    bkt = buckets[(dy, dx)]
+                    act = (valids[(dy, dx)] & (bkt <= theta)
+                           & (nb_lab != lab)
+                           & (bkt < fin_px) & (bkt < nb_fin))
+                    fail = np.minimum(
+                        fail, np.where(act & (dd >= merge_threshold),
+                                       bkt, BIG))
+                    strong = np.minimum(
+                        strong,
+                        np.where(act & (dd >= merge_threshold * fin_margin),
+                                 bkt, BIG))
+                f2 = np.full(TILE_H * TILE_W, 2 ** 31, np.int64)
+                np.minimum.at(
+                    f2, lab.ravel(),
+                    np.minimum(fail,
+                               fin.reshape(TILE_H, TILE_W)).ravel())
+                fin = f2
+                s2 = np.full(TILE_H * TILE_W, 2 ** 31, np.int64)
+                np.minimum.at(
+                    s2, lab.ravel(),
+                    np.minimum(strong,
+                               fin_x.reshape(TILE_H, TILE_W)).ravel())
+                fin_x = s2
             best_t = np.full(TILE_H * TILE_W, BIG, np.int64)
             np.minimum.at(best_t, lab.ravel(), best.ravel())
             partner = best_t & 1023
@@ -532,6 +618,7 @@ def _ref_subtile(c, hh, ww, schedule, rounds_per_level, merge_threshold,
 
         mean = tables()
         mean_px = mean[lab]
+        fin_px = fin[lab]
         fail = np.full((TILE_H, TILE_W), BIG, np.int64)
         strong = np.full((TILE_H, TILE_W), BIG, np.int64)
         for dy, dx in DIRS:
@@ -540,6 +627,9 @@ def _ref_subtile(c, hh, ww, schedule, rounds_per_level, merge_threshold,
             dd = dist(mean_px, nb_mean)
             bkt = buckets[(dy, dx)]
             act = (valids[(dy, dx)] & (bkt <= theta) & (nb_lab != lab))
+            if fin_gated:
+                nb_fin = np.roll(np.roll(fin_px, -dy, axis=0), -dx, axis=1)
+                act = act & (bkt < fin_px) & (bkt < nb_fin)
             fail = np.minimum(fail,
                               np.where(act & (dd >= merge_threshold),
                                        bkt, BIG))
@@ -547,12 +637,24 @@ def _ref_subtile(c, hh, ww, schedule, rounds_per_level, merge_threshold,
                 strong,
                 np.where(act & (dd >= merge_threshold * fin_margin),
                          bkt, BIG))
-        fail_t = np.full(TILE_H * TILE_W, BIG, np.int64)
-        np.minimum.at(fail_t, lab.ravel(), fail.ravel())
-        fin = np.minimum(fin, fail_t)
-        strong_t = np.full(TILE_H * TILE_W, BIG, np.int64)
-        np.minimum.at(strong_t, lab.ravel(), strong.ravel())
-        fin_x = np.minimum(fin_x, strong_t)
+        if fin_eager:
+            fail_t = np.full(TILE_H * TILE_W, 2 ** 31, np.int64)
+            np.minimum.at(
+                fail_t, lab.ravel(),
+                np.minimum(fail, fin.reshape(TILE_H, TILE_W)).ravel())
+            fin = fail_t
+            strong_t = np.full(TILE_H * TILE_W, 2 ** 31, np.int64)
+            np.minimum.at(
+                strong_t, lab.ravel(),
+                np.minimum(strong, fin_x.reshape(TILE_H, TILE_W)).ravel())
+            fin_x = strong_t
+        else:
+            fail_t = np.full(TILE_H * TILE_W, BIG, np.int64)
+            np.minimum.at(fail_t, lab.ravel(), fail.ravel())
+            fin = np.minimum(fin, fail_t)
+            strong_t = np.full(TILE_H * TILE_W, BIG, np.int64)
+            np.minimum.at(strong_t, lab.ravel(), strong.ravel())
+            fin_x = np.minimum(fin_x, strong_t)
 
     # Resolve residual label chains, min-propagating fins along the
     # pointer graph exactly as the kernel's export loop does (fins at a

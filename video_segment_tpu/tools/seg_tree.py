@@ -75,21 +75,23 @@ def build_arg_parser():
                         "e.g. --solver_param preseg_fin_margin=1.5 — the "
                         "CLI face of the reference's per-option "
                         "segmentation proto knobs (seg_tree.cpp:174-213)")
+    p.add_argument("--region_param", action="append", default=[],
+                   metavar="NAME=VALUE",
+                   help="override a RegionSegmentationOptions field "
+                        "(repeatable), e.g. --region_param "
+                        "agglo_subrounds=12")
     return p
 
 
-def _solver_params_from_flags(pairs):
-    """None, or OversegParams with `name=value` overrides applied; values
-    coerce to the field's existing type (bool accepts 0/1/true/false)."""
-    if not pairs:
-        return None
-    from video_segment_tpu.core import oversegmentation as ov
-    params = ov.OversegParams()
+def _apply_overrides(obj, pairs, flag, setter):
+    """Apply `name=value` overrides onto dataclass/NamedTuple fields;
+    values coerce to the field's existing type (bool accepts
+    0/1/true/false, tuples parse comma-separated ints)."""
     for pair in pairs:
         name, _, raw = pair.partition("=")
-        if not hasattr(params, name):
-            raise SystemExit(f"--solver_param: unknown field {name!r}")
-        cur = getattr(params, name)
+        if not hasattr(obj, name):
+            raise SystemExit(f"{flag}: unknown field {name!r}")
+        cur = getattr(obj, name)
         if isinstance(cur, bool):
             val = raw.lower() in ("1", "true", "yes")
         elif isinstance(cur, int):
@@ -100,8 +102,29 @@ def _solver_params_from_flags(pairs):
             val = tuple(int(x) for x in raw.split(",") if x)
         else:
             val = raw
-        params = params._replace(**{name: val})
-    return params
+        obj = setter(obj, name, val)
+    return obj
+
+
+def _solver_params_from_flags(pairs):
+    """None, or OversegParams with `name=value` overrides applied."""
+    if not pairs:
+        return None
+    from video_segment_tpu.core import oversegmentation as ov
+    return _apply_overrides(ov.OversegParams(), pairs, "--solver_param",
+                            lambda o, n, v: o._replace(**{n: v}))
+
+
+def _region_options_from_flags(pairs):
+    """RegionSegmentationOptions with `name=value` overrides applied."""
+    from video_segment_tpu.core.options import RegionSegmentationOptions
+
+    def set_field(o, n, v):
+        setattr(o, n, v)
+        return o
+
+    return _apply_overrides(RegionSegmentationOptions(), pairs,
+                            "--region_param", set_field)
 
 
 def main(argv=None):
@@ -110,8 +133,7 @@ def main(argv=None):
     # Heavy imports after flag parsing (fast --help).
     import numpy as np
     from video_segment_tpu.core import dense
-    from video_segment_tpu.core.options import (DenseSegmentationOptions,
-                                                RegionSegmentationOptions)
+    from video_segment_tpu.core.options import DenseSegmentationOptions
     from video_segment_tpu.dataio import emit, seg_io, video
     from video_segment_tpu.segment_util import render as render_util
 
@@ -157,7 +179,8 @@ def main(argv=None):
     if not args.over_segment:
         from video_segment_tpu.core import region
         region_stage = region.RegionSegmentation(
-            RegionSegmentationOptions(), info.width, info.height)
+            _region_options_from_flags(args.region_param),
+            info.width, info.height)
 
     resume_from = 0
     if args.resume:
