@@ -43,13 +43,16 @@ def baseline_for(cfg: int) -> float:
 
 
 def run_pipeline(frames, width, height, use_flow=False,
-                 over_segment_only=False):
+                 over_segment_only=False, out_path=None):
     """Threaded stage chain (flow | dense | region | emit), matching
-    seg_tree --use_pipeline: host RLE/proto work overlaps device solves."""
+    seg_tree --use_pipeline: host RLE/proto work overlaps device solves.
+    With `out_path`, the stream is written through SegmentationWriter to a
+    real file (the full --write_to_file contract, chunked container
+    included)."""
     from video_segment_tpu.core import dense, region
     from video_segment_tpu.core.options import (DenseSegmentationOptions,
                                                 RegionSegmentationOptions)
-    from video_segment_tpu.dataio import emit
+    from video_segment_tpu.dataio import emit, seg_io
     from video_segment_tpu.runtime import pipeline as pl
 
     ds = dense.DenseSegmentation(DenseSegmentationOptions(async_tail=True),
@@ -85,11 +88,22 @@ def run_pipeline(frames, width, height, use_flow=False,
                        flush=lambda: rs.process_frames(True, []))]
     pipe = pl.Pipeline(stages, queue_size=10)
 
+    writer = None
+    if out_path:
+        writer = seg_io.SegmentationWriter(out_path)
+        assert writer.open_file(header_flags=[0, 1])
     payload_bytes = 0
     n_out = 0
     for sf in pipe.run(enumerate(frames)):
-        payload_bytes += len(emit.segframe_to_bytes(sf))
+        payload = emit.segframe_to_bytes(sf)
+        payload_bytes += len(payload)
+        if writer is not None:
+            writer.add_to_chunk(payload, pts=sf.frame_index * 100)
+            if sf.hierarchy is not None and n_out > 0:
+                writer.write_chunk()
         n_out += 1
+    if writer is not None:
+        writer.write_term_and_close()
     return n_out, payload_bytes
 
 
@@ -145,23 +159,37 @@ def main():
             # Batch mode: clips interleaved through the device concurrently
             # (device programs serialize; each clip's host stages fill the
             # other's device time) — tools/batch_segment.py --concurrent.
+            # BASELINE config 5 includes the segment_renderer leg: each
+            # clip's stream is written to a .pb and rendered to video at
+            # render_level=0.1 inside the timed pass.
             from concurrent.futures import ThreadPoolExecutor
+            pbs = [f"/tmp/bench_clip{i}.pb" for i in range(n_clips)]
             with ThreadPoolExecutor(max_workers=n_clips) as ex:
                 for n1, _ in ex.map(
-                        lambda _i: run_pipeline(frames, w, h, use_flow,
-                                                over_segment_only=cfg == 1),
+                        lambda i: run_pipeline(frames, w, h, use_flow,
+                                               over_segment_only=cfg == 1,
+                                               out_path=pbs[i]),
                         range(n_clips)):
                     n_out += n1
+            from video_segment_tpu.tools import renderer
+            for i, pb in enumerate(pbs):
+                rc = renderer.main(["-i", pb, "--render_level", "0.1",
+                                    "--output_video",
+                                    f"/tmp/bench_clip{i}_render.mp4"])
+                assert rc in (0, None), f"renderer failed on {pb}"
         else:
             n_out, _ = run_pipeline(frames, w, h, use_flow,
-                                    over_segment_only=cfg == 1)
+                                    over_segment_only=cfg == 1,
+                                    out_path="/tmp/bench_out.pb")
         dt = time.time() - t0
         return n_out, (n_out / dt if dt > 0 else 0.0)
 
     repeats = int(os.environ.get("BENCH_REPEATS", "2"))
     n_out, fps = 0, 0.0
+    passes = []
     for _ in range(max(repeats, 1)):
         n1, f1 = one_pass()
+        passes.append(round(f1, 3))
         if f1 > fps:
             n_out, fps = n1, f1
 
@@ -187,7 +215,9 @@ def main():
     except (OSError, ValueError):
         allrec = {}
     allrec[str(cfg)] = dict(rec, frames=n_frames,
-                            date=time.strftime("%Y-%m-%d"))
+                            date=time.strftime("%Y-%m-%d"),
+                            method=f"best-of-{max(repeats, 1)}",
+                            passes=passes)
     with open(all_path, "w") as f:
         json.dump(allrec, f, indent=2, sort_keys=True)
         f.write("\n")

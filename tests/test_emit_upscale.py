@@ -31,6 +31,37 @@ def test_vectorized_strip_roundtrip():
     assert (rebuilt == lab).mean() > 0.95
 
 
+def test_save_descriptors_features():
+    """save_descriptors emits one RegionFeatures{id} per region on hierarchy
+    frames, none elsewhere (segmentation.cpp:491-501: the reference's
+    AddToRegionFeatures impls are empty, so id-only entries are parity)."""
+    from video_segment_tpu.core.dense import HierarchyLevelData
+
+    lab, sf = _square_frame()
+    hier = [HierarchyLevelData(
+        ids=np.array([0, 7], np.int64),
+        sizes=np.array([int((lab == 0).sum()), int((lab == 7).sum())]),
+        start_frames=np.zeros(2, np.int64), end_frames=np.zeros(2, np.int64),
+        neighbor_pairs=np.array([[0, 7]], np.int64))]
+    sf.hierarchy = hier
+
+    desc = proto.SegmentationDesc()
+    desc.ParseFromString(emit.segframe_to_bytes(sf, save_descriptors=True))
+    assert [f.id for f in desc.features] == [0, 7]
+
+    # Survives the vectorize re-serialization path too.
+    desc2 = proto.SegmentationDesc()
+    desc2.ParseFromString(emit.segframe_to_bytes(sf, vectorize=True,
+                                                 save_descriptors=True))
+    assert [f.id for f in desc2.features] == [0, 7]
+
+    # Non-hierarchy frames carry no features, matching output_hierarchy gate.
+    sf.hierarchy = None
+    desc3 = proto.SegmentationDesc()
+    desc3.ParseFromString(emit.segframe_to_bytes(sf, save_descriptors=True))
+    assert len(desc3.features) == 0
+
+
 def test_vectorized_upscale():
     lab, sf = _square_frame()
     payload = emit.segframe_to_bytes(sf, vectorize=True,

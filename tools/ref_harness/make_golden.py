@@ -126,7 +126,11 @@ def main() -> None:
         t0 = time.time()
         run([sys.executable, "-m", "video_segment_tpu.tools.seg_tree",
              "--input_file", args.video, "--trim_to", str(n),
-             "--write_to_file", "--output_file", ours_pb, "--no-flow"]
+             "--write_to_file", "--output_file", ours_pb, "--no-flow",
+             # Score the solver's own rasters, not the vectorization
+             # round-trip (the shipped write default strips rasters for
+             # reference parity, seg_tree.cpp:308).
+             "--keep_rasterization"]
             + args.ours_args.split(), cwd=REPO)
         ours_s = time.time() - t0
         print(f"our run: {ours_s:.1f}s ({n / ours_s:.2f} fps)")

@@ -202,15 +202,18 @@ class OversegParams(NamedTuple):
     # just under the 0.05 merge gate), so most texture-scale merge/freeze
     # decisions happen in-tile — the global fin_every_round knob cannot
     # recover detail the preseg already merged through
-    # (segmentation_graph.h:383-402 eager semantics).
-    preseg_fin_eager: bool = False
+    # (segmentation_graph.h:383-402 eager semantics).  Default on since the
+    # round-5 sweep: with gated scans it lifted F at every level
+    # (0.705/0.627/0.447 -> 0.713/0.713/0.647 at 0/0.4/0.75).
+    preseg_fin_eager: bool = True
     # Gate the tile preseg's failure scans like the reference's merge test
     # (segmentation_graph.h:388: "Only test if neither region is
     # finalized"): an edge to an already-finalized neighbor cannot
     # finalize this region.  The global table scan is already gated this
     # way (_table_level_end); ungated tile scans over-fragment smooth
-    # areas via spurious finalization.
-    preseg_fin_gated: bool = False
+    # areas via spurious finalization.  Default on (round-5 sweep; see
+    # preseg_fin_eager).
+    preseg_fin_gated: bool = True
     # Boruvka merge rounds per tile-preseg schedule level.
     preseg_rounds_per_level: int = 2
     # Extract the region adjacency with the per-tile Pallas kernel

@@ -68,9 +68,33 @@ def hierarchy_to_proto(levels) -> list:
     return out
 
 
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        out.append(b | (0x80 if n else 0))
+        if not n:
+            return bytes(out)
+
+
+def _region_features_bytes(region_ids: np.ndarray) -> bytes:
+    """Serialized `repeated RegionFeatures features = 10` entries, one per
+    region with only the required `fixed32 id = 1` set — exactly what the
+    reference emits under save_descriptors (segmentation.cpp:491-501; every
+    AddToRegionFeatures implementation is empty, region_descriptor.cpp:137,
+    :333).  Appended raw: protobuf fields parse in any byte order."""
+    out = bytearray()
+    for rid in np.asarray(region_ids).tolist():
+        body = b"\x0d" + int(rid).to_bytes(4, "little")   # field 1, fixed32
+        out += b"\x52" + _varint(len(body)) + body         # field 10, LEN
+    return bytes(out)
+
+
 def segframe_to_bytes(sf, vectorize: bool = False,
                       remove_rasterization: bool = False,
-                      output_dims: tuple | None = None) -> bytes:
+                      output_dims: tuple | None = None,
+                      save_descriptors: bool = False) -> bytes:
     """Serialize a core.dense.SegFrame to SegmentationDesc wire bytes.
 
     With `vectorize`, region boundary polygons are computed and attached
@@ -88,6 +112,10 @@ def segframe_to_bytes(sf, vectorize: bool = False,
         chunk_size=sf.chunk_size, overlap_start=sf.overlap_start,
         chunk_id=sf.chunk_id, hierarchy_frame_idx=sf.hierarchy_frame_idx,
         connectedness=proto.N4_CONNECT, hierarchy=hierarchy)
+    if save_descriptors and hierarchy is not None:
+        # The reference gates on output_hierarchy (segmentation.cpp:491):
+        # features ride only on hierarchy (chunk-start) frames.
+        payload += _region_features_bytes(sf.region_ids)
     if not vectorize:
         return payload
 

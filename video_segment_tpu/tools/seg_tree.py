@@ -32,6 +32,12 @@ def build_arg_parser():
                    help="over-segmentation only (no hierarchy stage)")
     p.add_argument("--write_to_file", action="store_true",
                    help="write <input>.pb segmentation stream")
+    p.add_argument("--keep_rasterization", action="store_true",
+                   help="keep per-region RLE rasters in the written "
+                        "stream; by default hierarchical output carries "
+                        "vectorization only, as the reference writer does "
+                        "(remove_rasterization=true, seg_tree.cpp:308) — "
+                        "consumers rebuild rasters from the polygons")
     p.add_argument("--output_file", default="",
                    help="override .pb output path")
     p.add_argument("--render_and_save", action="store_true",
@@ -176,11 +182,13 @@ def main(argv=None):
         solver_params=_solver_params_from_flags(args.solver_param))
 
     region_stage = None
+    save_descriptors = False
     if not args.over_segment:
         from video_segment_tpu.core import region
-        region_stage = region.RegionSegmentation(
-            _region_options_from_flags(args.region_param),
-            info.width, info.height)
+        ropts = _region_options_from_flags(args.region_param)
+        save_descriptors = ropts.save_descriptors
+        region_stage = region.RegionSegmentation(ropts,
+                                                 info.width, info.height)
 
     resume_from = 0
     if args.resume:
@@ -243,11 +251,14 @@ def main(argv=None):
                                        info.fps)))
 
     vectorize = args.write_to_file and not args.over_segment
-    # When segmenting a downscaled video, the written stream carries the
-    # original resolution through scaled vectorization (writer-unit upscale
-    # path); rasterizations are stripped in that case.
+    # Reference parity: --write_to_file always strips rasterization and
+    # keeps vectorization (seg_tree.cpp:308 sets remove_rasterization=true);
+    # --keep_rasterization retains the RLE rasters alongside.  When
+    # segmenting a downscaled video the stream carries the original
+    # resolution through scaled vectorization (writer-unit upscale path),
+    # which forces the strip regardless.
     upscale_dims = None
-    strip_raster = False
+    strip_raster = vectorize and not args.keep_rasterization
     if vectorize and (info.width, info.height) != (info.orig_width,
                                                    info.orig_height):
         upscale_dims = (info.orig_width, info.orig_height)
@@ -283,7 +294,8 @@ def main(argv=None):
             writer.add_to_chunk(
                 emit.segframe_to_bytes(sf, vectorize=vectorize,
                                        remove_rasterization=strip_raster,
-                                       output_dims=upscale_dims),
+                                       output_dims=upscale_dims,
+                                       save_descriptors=save_descriptors),
                 pts=reader.pts_of(sf.frame_index))
             if sf.hierarchy is not None and n_out > 0:
                 writer.write_chunk()
