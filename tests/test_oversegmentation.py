@@ -321,3 +321,30 @@ def test_min_size_interleave_forces_early():
         assert lab.shape == (2, h, w)
         _, counts = np.unique(lab, return_counts=True)
         assert counts.min() >= 8, (inter, counts.min())
+
+
+def test_pair_merge_equivalent_partitions():
+    """Depth-1 hooking (pair_merge) converges to the same partition on
+    clean synthetic content (chains only matter where means drift, i.e.
+    texture) and always yields a valid full labeling."""
+    rng = np.random.default_rng(7)
+    h, w = 16, 32
+    vol = np.zeros((2, h, w, 3), np.float32)
+    vol[:, :, w // 2:] = 0.8
+    vol += rng.normal(0, 0.004, size=vol.shape).astype(np.float32)
+    res = ov.oversegment(jnp.asarray(vol), params=_params(pair_merge=True))
+    lab = _labels_np(res)
+    assert len(np.unique(lab[:, :, : w // 2])) == 1
+    assert len(np.unique(lab[:, :, w // 2:])) == 1
+    assert lab[0, 0, 0] != lab[0, 0, -1]
+
+
+def test_pair_merge_min_size_forcing_unaffected():
+    rng = np.random.default_rng(3)
+    h, w = 16, 16
+    vol = rng.uniform(0, 1, size=(1, h, w, 3)).astype(np.float32)
+    res = ov.oversegment(jnp.asarray(vol),
+                         params=_params(min_region_size=8, pair_merge=True))
+    lab = _labels_np(res)[0]
+    _, counts = np.unique(lab, return_counts=True)
+    assert counts.min() >= 8

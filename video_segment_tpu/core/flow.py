@@ -39,6 +39,13 @@ class TVL1Params(NamedTuple):
     # dominant config-3 cost, so the defaults sit at the quality knee.
     warps: int = 3
     iterations: int = 40
+    # Finest-scale schedule: inner work concentrates at full resolution
+    # (scale s costs 4^-s of scale 0), but the solution there only refines
+    # the upsampled coarse field.  2x20 at scale 0 measures within 1-4%
+    # warp MAD of 3x40 on real content across slow and fast motion at
+    # ~0.5x total inner work (round-5 sweep vs the Farneback oracle).
+    fine_warps: int = 2
+    fine_iterations: int = 20
     epsilon: float = 0.01
 
 
@@ -191,7 +198,10 @@ def _tvl1_flow_impl(i0: jnp.ndarray, i1: jnp.ndarray,
             sx = pyr0[s].shape[1] / u1.shape[1]
             u1 = _resize_bilinear(u1, *pyr0[s].shape) * sx
             u2 = _resize_bilinear(u2, *pyr0[s].shape) * sy
-        u1, u2 = _tvl1_scale(pyr0[s], pyr1[s], u1, u2, params)
+        p = (params._replace(warps=params.fine_warps,
+                             iterations=params.fine_iterations)
+             if s == 0 else params)
+        u1, u2 = _tvl1_scale(pyr0[s], pyr1[s], u1, u2, p)
     return jnp.stack([u1, u2], axis=-1)
 
 

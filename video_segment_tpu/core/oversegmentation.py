@@ -216,6 +216,11 @@ class OversegParams(NamedTuple):
     preseg_fin_gated: bool = True
     # Boruvka merge rounds per tile-preseg schedule level.
     preseg_rounds_per_level: int = 2
+    # Depth-1 hooking in global merge rounds: cancel hooks whose target
+    # also hooks, so every merge is tested against current statistics (no
+    # chain collapse through stale means — see _apply_merge).  Extra rounds,
+    # same per-round cost; min-size forcing rounds stay unrestricted.
+    pair_merge: bool = False
     # Extract the region adjacency with the per-tile Pallas kernel
     # (ops/tile_extract) instead of O(pixels) packed segment-min scatters:
     # preseg regions are tile-local, so per-(region, direction) minima
@@ -519,11 +524,23 @@ def _select_partners(best_bucket, best_partner, label_flat, n):
     return jax.ops.segment_min(key2, label_flat, num_segments=n)
 
 
-def _apply_merge(state: SolverState, partner, n, up=None):
+def _apply_merge(state: SolverState, partner, n, up=None,
+                 pair_gate=None):
     """Hook roots onto partners (_I32MAX = no hook).  When `up` is given,
     only hooks toward larger (True) / smaller (False) slots apply — monotone
     hooking cannot cycle, which matters because flow-displaced edges are
     seen with different weights from their two endpoints.
+
+    With `pair_gate` (a traced bool; None = off), a hook whose target itself
+    hooks this round is cancelled (depth-1 trees): every merge this round is
+    tested against the target's CURRENT statistics, never through a chain of
+    stale means — closer to the reference's re-evaluation after every single
+    merge (segmentation_graph.h:339-463 processes edges one at a time).
+    Chains a->b->c otherwise collapse in one round with a->b tested against
+    b's pre-round mean; in texture that over-merges (the means drift with
+    every absorption).  Costs extra rounds, not extra work per round.  The
+    chain end's hook always survives, so every gated round still makes
+    progress.
 
     `n` is the segment-domain size: the pixel count before compaction, the
     compact table size after.  Returns (state, moved, candidates):
@@ -535,6 +552,9 @@ def _apply_merge(state: SolverState, partner, n, up=None):
     hook = have
     if up is not None:
         hook = hook & ((partner > slots) == up)
+    if pair_gate is not None:
+        tgt = jnp.minimum(partner, n - 1)
+        hook = hook & jnp.logical_not(hook[tgt] & pair_gate)
     parent = jnp.where(hook, partner, slots)
     root = cc.pointer_jump(parent)
     # One fused segment-sum carries color sums, size, and the sticky OR'd
@@ -603,7 +623,9 @@ def _round(state: SolverState, vol, flow, theta, up, mode, n, sink,
 
     partner = _select_partners(best_bucket.reshape(-1),
                                best_partner.reshape(-1), state.label, n)
-    return _apply_merge(state, partner, n, up=up)
+    return _apply_merge(state, partner, n, up=up,
+                        pair_gate=(jnp.logical_not(is_min_size)
+                                   if p.pair_merge else None))
 
 
 def _level_end(state: SolverState, vol, flow, theta, n, p: OversegParams,
@@ -840,7 +862,9 @@ def _table_round(ts: SolverState, ptn, pbk, theta, up, mode, nseg, sink,
     r_best = jax.ops.segment_min(best_slot, own, num_segments=nseg)
     partner = jnp.where(r_best < _I32MAX, r_best & ((1 << bits) - 1),
                         _I32MAX)
-    return _apply_merge(ts, partner, nseg, up=up)
+    return _apply_merge(ts, partner, nseg, up=up,
+                        pair_gate=(jnp.logical_not(is_min_size)
+                                   if p.pair_merge else None))
 
 
 def _table_level_end(ts: SolverState, tab, theta, nseg, sink,
