@@ -222,11 +222,13 @@ class OversegParams(NamedTuple):
     # same per-round cost; min-size forcing rounds stay unrestricted.
     pair_merge: bool = False
     # Extract the region adjacency with the per-tile Pallas kernel
-    # (ops/tile_extract) instead of O(pixels) packed segment-min scatters:
+    # (ops/tile_extract) instead of O(pixels) packed segment-min scatters
+    # (the solve's single largest device phase, BENCH_NOTES round 3):
     # preseg regions are tile-local, so per-(region, direction) minima
-    # reduce in VMEM and the table gathers from root cells.  Requires the
-    # tile-preseg init path and flow-absent chunks; anything else falls
-    # back to the XLA scatter path.
+    # reduce in VMEM and the table gathers from root cells.  Constraint
+    # head planes (labels not tile-local) keep the scatter path for their
+    # own pixels; flow-displaced keys work (they are computed outside the
+    # kernel).  Produces the identical forward table (equality-tested).
     extract_tile: bool = False
 
 
@@ -703,7 +705,8 @@ def _pack_spec(nseg: int):
 
 
 def _extract_edges(memb3, vol, flow, nseg, sink, p, global_base: int = 0,
-                   pack_domain: int | None = None):
+                   pack_domain: int | None = None, init_label=None,
+                   orig_slot=None, head_planes: int = 0):
     """One-time region-adjacency extraction from pixel space.
 
     For every stencil direction, aggregates the minimum-bucket pixel edge
@@ -727,6 +730,16 @@ def _extract_edges(memb3, vol, flow, nseg, sink, p, global_base: int = 0,
 
     `global_base` offsets packed partner ids (banded solves extract with
     band-local segment keys but globally addressed partners).
+
+    With `p.extract_tile` and `init_label`/`orig_slot` provided, the
+    forward reduction runs as a per-tile Pallas VMEM reduction instead of
+    per-direction O(pixels) scatters (ops/tile_extract): after the tile
+    preseg every non-head region is local to one (8,128) tile, so its
+    per-direction minima reduce in VMEM and the table GATHERS from root
+    cells.  The first `head_planes` frames hold host-built constraint
+    groups whose labels are NOT tile-local; their pixels keep the scatter
+    path (an nc/t fraction of the volume).  Both paths produce identical
+    forward tables (equality-tested).
     """
     t, h, w, _ = vol.shape
     bits, bshift = _pack_spec(pack_domain if pack_domain is not None
@@ -735,23 +748,72 @@ def _extract_edges(memb3, vol, flow, nseg, sink, p, global_base: int = 0,
     memb_flat = memb3.reshape(-1)
     n_dirs = len(SPATIAL_FWD) + (len(TEMPORAL_DIRS) if t > 1 else 0)
     d_cols = 2 * n_dirs
+    tile_path = (p.extract_tile and init_label is not None
+                 and orig_slot is not None)
 
-    def fold(carry, d: _RawDir):
-        tb, k = carry
-        ok = (d.valid & (d.nb_label != memb3)
-              & (memb3 != sink) & (d.nb_label != sink))
-        bkt = jnp.minimum(d.bucket, NUM_BUCKETS - 2) >> bshift
-        pk_a = jnp.where(ok, (bkt << bits) | (d.nb_label + global_base),
-                         _I32MAX)
-        e_a = jax.ops.segment_min(pk_a.reshape(-1), memb_flat,
-                                  num_segments=nseg)
-        tb = jax.lax.dynamic_update_slice(tb, e_a[None], (k, 0))
-        return tb, k + 1
+    if tile_path:
+        head_n = head_planes * h * w
 
-    tab = jnp.full((d_cols, nseg), _I32MAX, jnp.int32)
-    tab, _ = _fold_dirs_raw(vol, memb3, flow, p.metric, SPATIAL_FWD, False,
-                            fold, (tab, jnp.int32(0)),
-                            pair_dist=_pair_dist_fn(p, vol.shape[-1]))
+        def fold(carry, d: _RawDir):
+            planes, hd, k = carry
+            ok = (d.valid & (d.nb_label != memb3)
+                  & (memb3 != sink) & (d.nb_label != sink))
+            bkt = jnp.minimum(d.bucket, NUM_BUCKETS - 2) >> bshift
+            pk_a = jnp.where(ok, (bkt << bits) | (d.nb_label + global_base),
+                             _I32MAX)
+            planes = jax.lax.dynamic_update_slice(
+                planes, pk_a[None], (k, 0, 0, 0))
+            if head_n:
+                e_h = jax.ops.segment_min(pk_a.reshape(-1)[:head_n],
+                                          memb_flat[:head_n],
+                                          num_segments=nseg)
+                hd = jax.lax.dynamic_update_slice(hd, e_h[None], (k, 0))
+            return planes, hd, k + 1
+
+        planes = jnp.full((n_dirs, t, h, w), _I32MAX, jnp.int32)
+        head_tab = jnp.full((n_dirs, nseg), _I32MAX, jnp.int32)
+        planes, head_tab, _ = _fold_dirs_raw(
+            vol, memb3, flow, p.metric, SPATIAL_FWD, False, fold,
+            (planes, head_tab, jnp.int32(0)),
+            pair_dist=_pair_dist_fn(p, vol.shape[-1]))
+        if head_planes:
+            # Head pixels' labels are not tile-local: their reduction is
+            # the scatter above, never the tile pass.
+            planes = planes.at[:, :head_planes].set(_I32MAX)
+
+        from video_segment_tpu.ops import tile_extract
+        from video_segment_tpu.ops.tile_felz import TILE_H, TILE_W
+        yx = init_label % (h * w)
+        labr = ((yx // w) % TILE_H).reshape(t, h, w).astype(jnp.int32)
+        labc = (yx % w % TILE_W).reshape(t, h, w).astype(jnp.int32)
+        red = tile_extract.tile_reduce_min(labr, labc, planes)
+        gathered = red.reshape(n_dirs, -1)[:, orig_slot]
+        # A slot's gather is meaningful only if orig_slot really roots it
+        # (overflow/sink slots carry orig_slot 0).
+        slots_i = jnp.arange(nseg, dtype=jnp.int32)
+        real = ((memb_flat[orig_slot] == slots_i)
+                & (slots_i != sink))[None]
+        fwd_t = jnp.where(real, gathered, _I32MAX)
+        tab = jnp.full((d_cols, nseg), _I32MAX, jnp.int32)
+        tab = jax.lax.dynamic_update_slice(
+            tab, jnp.minimum(fwd_t, head_tab), (0, 0))
+    else:
+        def fold(carry, d: _RawDir):
+            tb, k = carry
+            ok = (d.valid & (d.nb_label != memb3)
+                  & (memb3 != sink) & (d.nb_label != sink))
+            bkt = jnp.minimum(d.bucket, NUM_BUCKETS - 2) >> bshift
+            pk_a = jnp.where(ok, (bkt << bits) | (d.nb_label + global_base),
+                             _I32MAX)
+            e_a = jax.ops.segment_min(pk_a.reshape(-1), memb_flat,
+                                      num_segments=nseg)
+            tb = jax.lax.dynamic_update_slice(tb, e_a[None], (k, 0))
+            return tb, k + 1
+
+        tab = jnp.full((d_cols, nseg), _I32MAX, jnp.int32)
+        tab, _ = _fold_dirs_raw(vol, memb3, flow, p.metric, SPATIAL_FWD,
+                                False, fold, (tab, jnp.int32(0)),
+                                pair_dist=_pair_dist_fn(p, vol.shape[-1]))
 
     # Reverse view from the forward table: column k's entry at slot a,
     # packed (bucket, partner b), re-scatters as (bucket, a) onto slot b.
@@ -1279,7 +1341,8 @@ def _solve_edge_table(vol, fl, init_label, constr_init, frozen_init,
                                           cell_stats, head_planes)
     with jax.named_scope("overseg_extract_edges"):
         tab = _extract_edges(memb.reshape(t, h, w), vol, fl, nseg, sink,
-                             params)
+                             params, init_label=init_label,
+                             orig_slot=orig_slot, head_planes=head_planes)
     return _finish_table_solve(ts, tab, memb, orig_slot, init_label,
                                (t, h, w), params, thetas, level_rounds,
                                has_constraints)
@@ -1658,7 +1721,9 @@ def _make_band_fn(t: int, h: int, w: int, params: OversegParams,
         tab_b = _extract_edges(memb_b.reshape(t, bh, w), vb,
                                flb if has_flow else None, nseg_b, cap_b,
                                params, global_base=bidx * cap_b,
-                               pack_domain=nseg_g)
+                               pack_domain=nseg_g,
+                               init_label=il.reshape(-1), orig_slot=orig_b,
+                               head_planes=head_planes)
         # Delocalize original-root voxel ids.
         orig_g = (orig_b // (bh * w)) * (h * w) + bidx * (bh * w) \
             + orig_b % (bh * w)
