@@ -214,3 +214,30 @@ def test_unit_tree_branch_error_aborts_whole_tree():
     for t in tree._threads:
         t.join(timeout=2.0)
         assert not t.is_alive()
+
+
+def test_conversion_units():
+    """LuminanceUnit / FlipBGRUnit / ColorTwistUnit counterparts
+    (conversion_units.h:42-104) run in a UnitTree and convert correctly."""
+    import numpy as np
+    from video_segment_tpu.runtime import conversion
+    from video_segment_tpu.runtime.pipeline import Unit, UnitTree
+
+    frames = [np.full((4, 6, 3), (10, 100, 200), np.uint8) for _ in range(3)]
+    root = Unit("src")
+    flip = root.add_child(conversion.flip_bgr_unit())
+    flip.add_child(conversion.luminance_unit())
+    twist = root.add_child(conversion.color_twist_unit(scale=(2, 1, 0.5),
+                                                       offset=(0, 10, 0)))
+    got = {"luminance": [], "color_twist": []}
+    for name, item in UnitTree(root).run(iter(frames)):
+        got[name].append(item)
+
+    assert len(got["luminance"]) == 3
+    # Flipped to RGB first, so luminance sees (R,G,B)=(10,100,200) as BGR
+    # input (B=10 swapped): 0.114*200+0.587*100+0.299*10 over 255.
+    exp = (0.114 * 200 + 0.587 * 100 + 0.299 * 10) / 255.0
+    assert abs(float(got["luminance"][0][0, 0]) - exp) < 1e-6
+    tw = got["color_twist"][0]
+    assert tw.dtype == np.uint8
+    assert tuple(tw[0, 0]) == (20, 110, 100)
