@@ -1,7 +1,6 @@
 """Fused multi-clip dense driver: lockstep batching equals per-clip runs."""
 
 import numpy as np
-import pytest
 
 from video_segment_tpu.core import batch, dense
 from video_segment_tpu.core.options import DenseSegmentationOptions
@@ -95,8 +94,34 @@ def test_batch_uneven_lengths_fall_back():
         _assert_frames_equal(outs[i], singles[i])
 
 
-def test_batch_voxel_guard():
-    # Each clip fits the unbanded solve (6*24*32 = 4608 voxels), but two
-    # clips batched exceed the budget -> rejected up front.
-    with pytest.raises(ValueError, match="max_solve_voxels"):
-        batch.BatchDenseSegmentation(_opts(max_solve_voxels=9_000), 32, 24, 2)
+def test_batch_banded_matches_per_clip():
+    """Banded resolutions fuse too: the driver scales each clip's voxel
+    budget down by the clip count, so the vmapped batch of per-band pixel
+    phases fits the original budget (the round-4 driver refused banded
+    shapes).  Fused banded == standalone streaming at the same bands."""
+    clips = [_clip(12, 0), _clip(12, 3)]
+
+    def run_single_banded(frames):
+        ds = dense.DenseSegmentation(_opts(max_solve_voxels=4_500), 32, 24)
+        assert ds._bands > 1
+        out = []
+        for fr in frames:
+            out += ds.process_frame(False, fr)
+        return out + ds.process_frame(True)
+
+    singles = [run_single_banded(c) for c in clips]
+
+    bd = batch.BatchDenseSegmentation(_opts(max_solve_voxels=9_000),
+                                      32, 24, 2)
+    assert bd.clips[0]._bands > 1        # the scaled budget forced bands
+    outs = [[], []]
+    for step in range(12):
+        got = bd.process_frames(False, [clips[0][step], clips[1][step]])
+        for i in range(2):
+            outs[i] += got[i]
+    got = bd.process_frames(True)
+    for i in range(2):
+        outs[i] += got[i]
+
+    for i in range(2):
+        _assert_frames_equal(outs[i], singles[i])

@@ -52,23 +52,26 @@ class BatchDenseSegmentation:
                  solver_params: ov.OversegParams | None = None):
         if n_clips < 1:
             raise ValueError("n_clips must be >= 1")
-        self.clips = [DenseSegmentation(options, frame_width, frame_height,
+        # The batched program's live pixel-phase footprint is
+        # n_clips x (one band).  Scaling the per-clip voxel budget down by
+        # the clip count makes each clip pick a band decomposition whose
+        # vmapped batch fits the ORIGINAL budget — that is how 720p/1080p
+        # clips share one fused banded program (the round-4 driver refused
+        # banded shapes outright and fell back to interleaving).
+        import dataclasses as _dc
+        opts = _dc.replace(
+            options,
+            max_solve_voxels=max(options.max_solve_voxels // n_clips, 1))
+        self.clips = [DenseSegmentation(opts, frame_width, frame_height,
                                         solver_params=solver_params)
                       for _ in range(n_clips)]
         c0 = self.clips[0]
-        if c0._bands > 1:
-            raise ValueError(
-                f"fused multi-clip batching requires the unbanded solve "
-                f"({frame_width}x{frame_height} solves in {c0._bands} row "
-                f"bands); batch via --concurrent interleaving or the mesh "
-                f"'data' axis at this resolution")
         vox = (n_clips * (c0.options.chunk_size + 1)
-               * (frame_height + c0._pad_rows) * frame_width)
-        if vox > c0.options.max_solve_voxels:
-            raise ValueError(
-                f"batched live solve footprint {vox} voxels "
-                f"({n_clips} clips) exceeds max_solve_voxels "
-                f"{c0.options.max_solve_voxels}; lower the batch size")
+               * ((frame_height + c0._pad_rows) // max(c0._bands, 1))
+               * frame_width)
+        assert vox <= options.max_solve_voxels * 2, (
+            f"batched per-band footprint {vox} exceeds budget "
+            f"{options.max_solve_voxels}")
         self._vm_cache: dict = {}
 
     # -- streaming --------------------------------------------------------
