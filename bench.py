@@ -107,6 +107,49 @@ def run_pipeline(frames, width, height, use_flow=False,
     return n_out, payload_bytes
 
 
+def run_fused(frames, width, height, n_clips, pbs):
+    """Config-5 fused path: one vmapped dense solve per chunk index across
+    clips (core.batch, banded-capable), per-clip region stages + writers —
+    the device-side fusion of what the concurrent path interleaves."""
+    from video_segment_tpu.core import region
+    from video_segment_tpu.core.batch import BatchDenseSegmentation
+    from video_segment_tpu.core.options import (DenseSegmentationOptions,
+                                                RegionSegmentationOptions)
+    from video_segment_tpu.dataio import emit, seg_io
+
+    bd = BatchDenseSegmentation(DenseSegmentationOptions(async_tail=True),
+                                width, height, n_clips)
+    regs = [region.RegionSegmentation(RegionSegmentationOptions(
+        use_flow=False), width, height) for _ in range(n_clips)]
+    writers = []
+    for pb in pbs:
+        writers.append(seg_io.SegmentationWriter(pb))
+        assert writers[-1].open_file(header_flags=[0, 1])
+    n_out = [0] * n_clips
+    total = 0
+
+    def consume(i, sfs, flush):
+        nonlocal total
+        for sf in regs[i].process_frames(flush, sfs):
+            if sf.hierarchy is not None and n_out[i] > 0:
+                writers[i].write_chunk()
+            writers[i].add_to_chunk(emit.segframe_to_bytes(sf),
+                                    pts=sf.frame_index * 100)
+            n_out[i] += 1
+            total += 1
+
+    for step, fr in enumerate(frames):
+        for i in range(n_clips):
+            regs[i].add_frame(step, fr, None)
+        for i, sfs in enumerate(bd.process_frames(False, [fr] * n_clips)):
+            consume(i, sfs, False)
+    for i, sfs in enumerate(bd.process_frames(True)):
+        consume(i, sfs, True)
+        writers[i].write_chunk()
+        writers[i].write_term_and_close()
+    return total
+
+
 class _NullRegion:
     """Over-segmentation-only stand-in (BASELINE config 1)."""
 
@@ -156,21 +199,24 @@ def main():
         t0 = time.time()
         n_out = 0
         if n_clips > 1:
-            # Batch mode: clips interleaved through the device concurrently
-            # (device programs serialize; each clip's host stages fill the
-            # other's device time) — tools/batch_segment.py --concurrent.
-            # BASELINE config 5 includes the segment_renderer leg: each
-            # clip's stream is written to a .pb and rendered to video at
-            # render_level=0.1 inside the timed pass.
-            from concurrent.futures import ThreadPoolExecutor
+            # Batch mode (BASELINE config 5, + the segment_renderer leg at
+            # render_level=0.1 inside the timed pass).  Two device paths:
+            # BENCH_FUSED=1 -> core.batch fused vmapped multi-clip solve
+            # (banded-capable since round 5); default -> clips interleaved
+            # concurrently (device programs serialize; each clip's host
+            # stages fill the other's device time).
             pbs = [f"/tmp/bench_clip{i}.pb" for i in range(n_clips)]
-            with ThreadPoolExecutor(max_workers=n_clips) as ex:
-                for n1, _ in ex.map(
-                        lambda i: run_pipeline(frames, w, h, use_flow,
-                                               over_segment_only=cfg == 1,
-                                               out_path=pbs[i]),
-                        range(n_clips)):
-                    n_out += n1
+            if os.environ.get("BENCH_FUSED") == "1":
+                n_out = run_fused(frames, w, h, n_clips, pbs)
+            else:
+                from concurrent.futures import ThreadPoolExecutor
+                with ThreadPoolExecutor(max_workers=n_clips) as ex:
+                    for n1, _ in ex.map(
+                            lambda i: run_pipeline(frames, w, h, use_flow,
+                                                   over_segment_only=cfg == 1,
+                                                   out_path=pbs[i]),
+                            range(n_clips)):
+                        n_out += n1
             from video_segment_tpu.tools import renderer
             for i, pb in enumerate(pbs):
                 rc = renderer.main(["-i", pb, "--render_level", "0.1",
