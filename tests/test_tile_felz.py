@@ -119,3 +119,19 @@ def test_kernel_matches_mirror_eager_gated(textured_vol):
             lab_base = len(np.unique(np.asarray(lab_d)))
         if eager:
             assert len(np.unique(np.asarray(lab_k))) >= lab_base
+
+
+def test_kernel_matches_mirror_pair_merge(textured_vol):
+    """preseg_pair_merge (depth-1 hooking) variant: kernel == mirror, and
+    cancelling chained hooks never produces fewer regions than chained
+    rounds (chains only merge MORE per round)."""
+    vol = textured_vol[:1]
+    lab_k, fin_k, _ = tile_felz.tile_felzenszwalb(
+        jnp.asarray(vol), schedule=(4, 32, 96),
+        fin_eager=True, fin_gated=True, pair_merge=True)
+    lab_m, fin_m, _ = tile_felz.tile_felz_reference(
+        vol, schedule=(4, 32, 96),
+        fin_eager=True, fin_gated=True, pair_merge=True)
+    np.testing.assert_array_equal(np.asarray(lab_k), lab_m)
+    agree = (np.asarray(fin_k) == fin_m).mean()
+    assert agree > 0.97, f"fin agreement {agree}"

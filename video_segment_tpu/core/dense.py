@@ -279,7 +279,8 @@ class DenseSegmentation:
             metric=self.options.color_distance,
             fin_margin=self._params.preseg_fin_margin,
             fin_eager=self._params.preseg_fin_eager,
-            fin_gated=self._params.preseg_fin_gated)
+            fin_gated=self._params.preseg_fin_gated,
+            pair_merge=self._params.preseg_pair_merge)
 
     # -- streaming --------------------------------------------------------
 

@@ -216,6 +216,11 @@ class OversegParams(NamedTuple):
     preseg_fin_gated: bool = True
     # Boruvka merge rounds per tile-preseg schedule level.
     preseg_rounds_per_level: int = 2
+    # Depth-1 hooking in the TILE preseg's merge rounds (the in-tile
+    # counterpart of pair_merge below; texture cells mostly form in-tile,
+    # so in-tile chain collapse is the larger share of the stale-mean
+    # over-merge).  Sweep knob; costs one extra distribute per round.
+    preseg_pair_merge: bool = False
     # Depth-1 hooking in global merge rounds: cancel hooks whose target
     # also hooks, so every merge is tested against current statistics (no
     # chain collapse through stale means — see _apply_merge).  Extra rounds,

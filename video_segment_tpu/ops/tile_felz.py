@@ -152,7 +152,7 @@ def _dist(a, b, metric):
 
 def _solve_subtile(color3, gy, gx, h, w, *, schedule, rounds_per_level,
                    merge_threshold, metric, fin_margin,
-                   fin_eager=False, fin_gated=False):
+                   fin_eager=False, fin_gated=False, pair_merge=False):
     """Full local solve of one (8,128) subtile.  Returns flat local root
     label (8,128) int32 in [0,1024) and per-pixel fin flag (8,128) f32.
 
@@ -248,6 +248,18 @@ def _solve_subtile(color3, gy, gx, h, w, *, schedule, rounds_per_level,
         own_flat = rows * TILE_W + cols           # table cell's own label id
         up = (rnd % 2) == 0
         hook = have & ((partner > own_flat) == up)
+        if pair_merge:
+            # Depth-1 hooking: cancel hooks whose target also hooks this
+            # round, so every merge is tested against the target's CURRENT
+            # mean instead of collapsing a->b->c chains through b's stale
+            # one (the reference re-evaluates after every single merge,
+            # segmentation_graph.h:339-463).  The chain end's hook always
+            # survives, so progress is guaranteed.
+            pa_t = partner >> 7
+            pb_t = partner & 127
+            hookp = _distribute(pa_t, _onehot_cols(pb_t).astype(jnp.float32),
+                                jnp.where(hook, 1.0, 0.0))
+            hook = hook & (hookp < 0.5)
         pa = jnp.where(hook, partner >> 7, rows)
         pb = jnp.where(hook, partner & 127, cols)
         # Parity hooking chains are monotone; one jump resolves <=2 deep.
@@ -362,7 +374,7 @@ def _solve_subtile(color3, gy, gx, h, w, *, schedule, rounds_per_level,
 
 def _kernel(vol_ref, out_ref, fin_ref, size_ref, c0_ref, c1_ref, c2_ref, *,
             h, w, band_h, schedule, rounds_per_level, merge_threshold,
-            metric, fin_margin, fin_eager, fin_gated):
+            metric, fin_margin, fin_eager, fin_gated, pair_merge):
     t_idx = pl.program_id(0)
     y_idx = pl.program_id(1)
     x_idx = pl.program_id(2)
@@ -380,7 +392,8 @@ def _kernel(vol_ref, out_ref, fin_ref, size_ref, c0_ref, c1_ref, c2_ref, *,
             rounds_per_level=rounds_per_level,
             merge_threshold=merge_threshold,
             metric=metric, fin_margin=fin_margin,
-            fin_eager=fin_eager, fin_gated=fin_gated)
+            fin_eager=fin_eager, fin_gated=fin_gated,
+            pair_merge=pair_merge)
         # local root -> global voxel id
         root_y = y0 + (lab >> 7)
         root_x = x0 + (lab & 127)
@@ -401,7 +414,8 @@ def _kernel(vol_ref, out_ref, fin_ref, size_ref, c0_ref, c1_ref, c2_ref, *,
 @functools.partial(jax.jit,
                    static_argnames=("schedule", "rounds_per_level",
                                     "merge_threshold", "metric",
-                                    "fin_margin", "fin_eager", "fin_gated"))
+                                    "fin_margin", "fin_eager", "fin_gated",
+                                    "pair_merge"))
 def tile_felzenszwalb(vol: jnp.ndarray,
                       schedule: tuple = (4, 32, 192, 1024),
                       rounds_per_level: int = 2,
@@ -409,7 +423,8 @@ def tile_felzenszwalb(vol: jnp.ndarray,
                       metric: str = "l2",
                       fin_margin: float = 1.0,
                       fin_eager: bool = False,
-                      fin_gated: bool = False):
+                      fin_gated: bool = False,
+                      pair_merge: bool = False):
     """(T,H,W,3) float volume -> (labels, fin, (size, c0, c1, c2)).
 
     `stats` are CELL-POSITIONED per-region statistics ((T,H,W) f32 each):
@@ -446,7 +461,7 @@ def tile_felzenszwalb(vol: jnp.ndarray,
                           rounds_per_level=rounds_per_level,
                           merge_threshold=merge_threshold, metric=metric,
                           fin_margin=fin_margin, fin_eager=fin_eager,
-                          fin_gated=fin_gated),
+                          fin_gated=fin_gated, pair_merge=pair_merge),
         out_shape=(jax.ShapeDtypeStruct((t, hp, wp), jnp.int32),
                    jax.ShapeDtypeStruct((t, hp, wp), jnp.int32),
                    jax.ShapeDtypeStruct((t, hp, wp), jnp.float32),
@@ -483,7 +498,8 @@ def tile_felz_reference(vol: np.ndarray, schedule=(4, 32, 192, 1024),
                         metric: str = "l2",
                         fin_margin: float = 1.0,
                         fin_eager: bool = False,
-                        fin_gated: bool = False):
+                        fin_gated: bool = False,
+                        pair_merge: bool = False):
     """Sequential NumPy mirror of the kernel, tile by tile."""
     t, h, w, _ = vol.shape
     out = np.zeros((t, h, w), np.int64)
@@ -501,7 +517,8 @@ def tile_felz_reference(vol: np.ndarray, schedule=(4, 32, 192, 1024),
                                         rounds_per_level, merge_threshold,
                                         metric, fin_margin,
                                         fin_eager=fin_eager,
-                                        fin_gated=fin_gated)
+                                        fin_gated=fin_gated,
+                                        pair_merge=pair_merge)
                 ry, rx = lab[:hh, :ww] // TILE_W, lab[:hh, :ww] % TILE_W
                 out[ti, y0:y0 + hh, x0:x0 + ww] = \
                     ti * h * w + (y0 + ry) * w + (x0 + rx)
@@ -521,7 +538,8 @@ def tile_felz_reference(vol: np.ndarray, schedule=(4, 32, 192, 1024),
 
 
 def _ref_subtile(c, hh, ww, schedule, rounds_per_level, merge_threshold,
-                 metric, fin_margin=1.0, fin_eager=False, fin_gated=False):
+                 metric, fin_margin=1.0, fin_eager=False, fin_gated=False,
+                 pair_merge=False):
     def dist(a, b):
         d = a - b
         if metric == "l1":
@@ -612,6 +630,9 @@ def _ref_subtile(c, hh, ww, schedule, rounds_per_level, merge_threshold,
             own = np.arange(TILE_H * TILE_W)
             up = (rnd % 2) == 0
             hook = have & ((partner > own) == up)
+            if pair_merge:
+                # Depth-1 hooking (see the kernel's merge_round).
+                hook = hook & ~hook[partner]
             parent = np.where(hook, partner, own)
             parent = parent[parent]
             lab = parent[lab]
