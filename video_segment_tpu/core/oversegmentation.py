@@ -226,6 +226,13 @@ class OversegParams(NamedTuple):
     # chain collapse through stale means — see _apply_merge).  Extra rounds,
     # same per-round cost; min-size forcing rounds stay unrestricted.
     pair_merge: bool = False
+    # Depth-1 hooking in min-size FORCING rounds: the reference forces one
+    # edge at a time and re-checks size after each (segmentation_graph.h:
+    # 407-415 — a fragment reaching min_region_size stops absorbing);
+    # chained forcing collapses whole fragment chains into one oversized
+    # blob, flattening texture mosaics the golden keeps at ~min-size
+    # granularity.  Sweep knob, independent of pair_merge.
+    pair_merge_minsize: bool = False
     # Extract the region adjacency with the per-tile Pallas kernel
     # (ops/tile_extract) instead of O(pixels) packed segment-min scatters
     # (the solve's single largest device phase, BENCH_NOTES round 3):
@@ -521,6 +528,17 @@ def _pair_dist_fn(p: OversegParams, nf: int):
     return fn
 
 
+def _pair_gate(p: OversegParams, is_min_size):
+    """Traced pair-cancellation gate for _apply_merge (None = off)."""
+    if p.pair_merge and p.pair_merge_minsize:
+        return jnp.bool_(True)
+    if p.pair_merge:
+        return jnp.logical_not(is_min_size)
+    if p.pair_merge_minsize:
+        return jnp.asarray(is_min_size)
+    return None
+
+
 def _select_partners(best_bucket, best_partner, label_flat, n):
     """Region-level Boruvka selection from per-pixel (bucket, partner) bests:
     two int32 segment-mins (min bucket, then min partner at that bucket —
@@ -631,8 +649,7 @@ def _round(state: SolverState, vol, flow, theta, up, mode, n, sink,
     partner = _select_partners(best_bucket.reshape(-1),
                                best_partner.reshape(-1), state.label, n)
     return _apply_merge(state, partner, n, up=up,
-                        pair_gate=(jnp.logical_not(is_min_size)
-                                   if p.pair_merge else None))
+                        pair_gate=_pair_gate(p, is_min_size))
 
 
 def _level_end(state: SolverState, vol, flow, theta, n, p: OversegParams,
@@ -930,8 +947,7 @@ def _table_round(ts: SolverState, ptn, pbk, theta, up, mode, nseg, sink,
     partner = jnp.where(r_best < _I32MAX, r_best & ((1 << bits) - 1),
                         _I32MAX)
     return _apply_merge(ts, partner, nseg, up=up,
-                        pair_gate=(jnp.logical_not(is_min_size)
-                                   if p.pair_merge else None))
+                        pair_gate=_pair_gate(p, is_min_size))
 
 
 def _table_level_end(ts: SolverState, tab, theta, nseg, sink,
