@@ -240,8 +240,12 @@ class OversegParams(NamedTuple):
     # reduce in VMEM and the table gathers from root cells.  Constraint
     # head planes (labels not tile-local) keep the scatter path for their
     # own pixels; flow-displaced keys work (they are computed outside the
-    # kernel).  Produces the identical forward table (equality-tested).
-    extract_tile: bool = False
+    # kernel).  Produces the identical forward table (equality-tested;
+    # TPU-validated round 5: 7/7 equality tests on v5e incl. full solve,
+    # plus 40-frame e2e id-image equality vs the scatter path).  None =
+    # auto: tile on TPU, scatter elsewhere (the Pallas kernel only runs
+    # in interpret mode off-TPU, ~3x slower end-to-end on CPU).
+    extract_tile: bool | None = None
 
 
 class SolverState(NamedTuple):
@@ -770,7 +774,9 @@ def _extract_edges(memb3, vol, flow, nseg, sink, p, global_base: int = 0,
     memb_flat = memb3.reshape(-1)
     n_dirs = len(SPATIAL_FWD) + (len(TEMPORAL_DIRS) if t > 1 else 0)
     d_cols = 2 * n_dirs
-    tile_path = (p.extract_tile and init_label is not None
+    use_tile = (p.extract_tile if p.extract_tile is not None
+                else jax.default_backend() == "tpu")
+    tile_path = (use_tile and init_label is not None
                  and orig_slot is not None)
 
     if tile_path:

@@ -100,6 +100,9 @@ def _apply_overrides(obj, pairs, flag, setter):
         cur = getattr(obj, name)
         if isinstance(cur, bool):
             val = raw.lower() in ("1", "true", "yes")
+        elif cur is None:  # tri-state bool (e.g. extract_tile auto)
+            val = (None if raw.lower() in ("none", "auto")
+                   else raw.lower() in ("1", "true", "yes"))
         elif isinstance(cur, int):
             val = int(raw)
         elif isinstance(cur, float):
