@@ -85,4 +85,10 @@ echo "LINK strip_probe"
 # shellcheck disable=SC2086
 $CXX -fopenmp "${LIB_OBJS[@]}" "$BUILD/obj/strip_probe.o" \
      -o "$BUILD/strip_probe" $LIBS
-echo "Built $BUILD/golden_driver $BUILD/pb_inspect $BUILD/strip_probe"
+# Standalone DualTVL1 oracle (needs only OpenCV; no reference sources).
+echo "LINK tvl1_oracle"
+$CXX -O2 -w -I/usr/include/opencv4 "$HERE/tvl1_oracle.cc" \
+     -o "$BUILD/tvl1_oracle" \
+     -lopencv_core -lopencv_imgcodecs -lopencv_imgproc -lopencv_optflow
+echo "Built $BUILD/golden_driver $BUILD/pb_inspect $BUILD/strip_probe" \
+     "$BUILD/tvl1_oracle"

@@ -29,7 +29,11 @@ class TVL1Params(NamedTuple):
     tau: float = 0.25
     lambda_: float = 0.15
     theta: float = 0.3
-    nscales: int = 5
+    # Depth is bounded by the >= 16px level floor below, so nscales is a
+    # cap, not the operative rule: 8 lets 1080p descend to a ~16-row
+    # coarsest level (5 stopped at 67 rows — too fine to lock a large
+    # pan before linearization breaks at the finer scales).
+    nscales: int = 8
     # The reference runs warps=2 / iterations=10 (seg_tree.cpp:174-175) on
     # OpenCV's scheme; our primal-dual scheme needs more inner iterations
     # to converge.  3x40 measured strictly better than the old 4x100 on
@@ -185,7 +189,13 @@ def _tvl1_flow_impl(i0: jnp.ndarray, i1: jnp.ndarray,
     pyr0 = [i0]
     pyr1 = [i1]
     for _ in range(params.nscales - 1):
-        if min(pyr0[-1].shape) < 16:
+        # Every level must keep min-dim >= 16: the old check-before-append
+        # admitted one sub-16 level (e.g. 8x15 from 240x136), and a solve
+        # that tiny overshoots large global motion ~2x — finer scales
+        # cannot pull a wrong coarse init back once the residual exceeds
+        # the linearization range (measured vs the DualTVL1 oracle:
+        # warp MAD 31.0 -> 21.5 on a 17.8px-mean pan pair from the fix).
+        if min(pyr0[-1].shape) // 2 < 16:
             break
         pyr0.append(_downsample2(pyr0[-1]))
         pyr1.append(_downsample2(pyr1[-1]))
