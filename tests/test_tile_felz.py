@@ -135,3 +135,22 @@ def test_kernel_matches_mirror_pair_merge(textured_vol):
     np.testing.assert_array_equal(np.asarray(lab_k), lab_m)
     agree = (np.asarray(fin_k) == fin_m).mean()
     assert agree > 0.97, f"fin agreement {agree}"
+
+
+def test_kernel_matches_mirror_tuple_rounds(textured_vol):
+    """Per-level round counts (rounds_per_level as a tuple): kernel ==
+    mirror, and extra low-theta rounds only reduce the region count
+    relative to the uniform-2 baseline (more in-tile convergence)."""
+    vol = textured_vol[:1]
+    kw = dict(schedule=(4, 32, 96), rounds_per_level=(8, 4, 2),
+              fin_eager=True, fin_gated=True, pair_merge=True)
+    lab_k, fin_k, _ = tile_felz.tile_felzenszwalb(jnp.asarray(vol), **kw)
+    lab_m, fin_m, _ = tile_felz.tile_felz_reference(vol, **kw)
+    np.testing.assert_array_equal(np.asarray(lab_k), lab_m)
+    agree = (np.asarray(fin_k) == fin_m).mean()
+    assert agree > 0.97, f"fin agreement {agree}"
+    lab_u, _, _ = tile_felz.tile_felzenszwalb(
+        jnp.asarray(vol), schedule=(4, 32, 96), rounds_per_level=2,
+        fin_eager=True, fin_gated=True, pair_merge=True)
+    assert (len(np.unique(np.asarray(lab_k)))
+            <= len(np.unique(np.asarray(lab_u))))

@@ -214,13 +214,22 @@ class OversegParams(NamedTuple):
     # areas via spurious finalization.  Default on (round-5 sweep; see
     # preseg_fin_eager).
     preseg_fin_gated: bool = True
-    # Boruvka merge rounds per tile-preseg schedule level.
-    preseg_rounds_per_level: int = 2
+    # Boruvka merge rounds per tile-preseg schedule level: an int, or a
+    # per-level tuple (len == len(preseg_schedule)) — e.g. many depth-1
+    # rounds at the low-theta levels (near-identical colors converge
+    # safely in-tile) and few at the texture-forming top level, so the
+    # global solver inherits fewer seeds without losing mosaic detail.
+    preseg_rounds_per_level: int | tuple = 2
     # Depth-1 hooking in the TILE preseg's merge rounds (the in-tile
     # counterpart of pair_merge below; texture cells mostly form in-tile,
     # so in-tile chain collapse is the larger share of the stale-mean
-    # over-merge).  Sweep knob; costs one extra distribute per round.
-    preseg_pair_merge: bool = False
+    # over-merge).  Costs one extra distribute per round.  Default on
+    # since the round-5 sweep B: F at levels 0/0.4/0.75 went
+    # 0.713/0.713/0.647 -> 0.812/0.758/0.664 (sweep_r5b.json) — the
+    # single largest quality lever found this round; texture cells stop
+    # collapsing through stale means, matching the reference's
+    # re-evaluate-after-every-merge order (segmentation_graph.h:339-463).
+    preseg_pair_merge: bool = True
     # Depth-1 hooking in global merge rounds: cancel hooks whose target
     # also hooks, so every merge is tested against current statistics (no
     # chain collapse through stale means — see _apply_merge).  Extra rounds,

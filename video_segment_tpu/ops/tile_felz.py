@@ -183,7 +183,10 @@ def _solve_subtile(color3, gy, gx, h, w, *, schedule, rounds_per_level,
         valids.append(v)
 
     n_levels = len(schedule)
-    r_per = rounds_per_level
+    rounds = ((rounds_per_level,) * n_levels
+              if isinstance(rounds_per_level, int)
+              else tuple(rounds_per_level))
+    assert len(rounds) == n_levels, (rounds, schedule)
 
     def region_views(labr, ohc_f):
         """Per-pixel region means (fused aggregate + distribute)."""
@@ -324,19 +327,32 @@ def _solve_subtile(color3, gy, gx, h, w, *, schedule, rounds_per_level,
                 fin_x, _label_min_masked(labr, ohc, strong_f))
         return labr, labc, fin_t, fin_x
 
+    # Static per-iteration decode (theta, merge-vs-level-end, round parity
+    # index) via branch-free scalar selects (Pallas kernels cannot capture
+    # constant arrays): a per-LEVEL round count (rounds may be a tuple,
+    # e.g. many depth-1 rounds at low thetas where convergence is safe,
+    # few at the texture-forming levels) without a ragged loop structure.
+    iters = []                                   # (theta, is_merge, rnd)
+    for lv, th in enumerate(schedule):
+        for ph in range(rounds[lv] + 1):
+            iters.append((th, ph < rounds[lv], ph))
+
     def body(i, carry):
         labr, labc, fin_t, fin_x = carry
-        level = i // (r_per + 1)
-        phase = i % (r_per + 1)
         theta = jnp.int32(0)
-        for lv, th in enumerate(schedule):       # branch-free static lookup
-            theta = jnp.where(level == lv, jnp.int32(th), theta)
-        return jax.lax.cond(phase < r_per, merge_round, level_end,
-                            labr, labc, fin_t, fin_x, theta, phase)
+        merge = jnp.bool_(False)
+        rnd = jnp.int32(0)
+        for pos, (th, mg, ph) in enumerate(iters):
+            sel = i == pos
+            theta = jnp.where(sel, jnp.int32(th), theta)
+            merge = jnp.where(sel, jnp.bool_(mg), merge)
+            rnd = jnp.where(sel, jnp.int32(ph), rnd)
+        return jax.lax.cond(merge, merge_round, level_end,
+                            labr, labc, fin_t, fin_x, theta, rnd)
 
     open_f = jnp.full((TILE_H, TILE_W), float(_BIG), jnp.float32)
     labr, labc, fin_t, fin_x = jax.lax.fori_loop(
-        0, n_levels * (r_per + 1), body, (rows, cols, open_f, open_f))
+        0, len(iters), body, (rows, cols, open_f, open_f))
 
     # Resolve residual label chains to a fixed point, min-propagating the
     # fin table along the pointer graph as labels jump: fins (and the
@@ -418,7 +434,7 @@ def _kernel(vol_ref, out_ref, fin_ref, size_ref, c0_ref, c1_ref, c2_ref, *,
                                     "pair_merge"))
 def tile_felzenszwalb(vol: jnp.ndarray,
                       schedule: tuple = (4, 32, 192, 1024),
-                      rounds_per_level: int = 2,
+                      rounds_per_level: int | tuple = 2,
                       merge_threshold: float = 0.05,
                       metric: str = "l2",
                       fin_margin: float = 1.0,
@@ -573,8 +589,11 @@ def _ref_subtile(c, hh, ww, schedule, rounds_per_level, merge_threshold,
         np.add.at(size, lab.ravel(), 1.0)
         return csum / np.maximum(size, 1.0)[:, None]
 
-    for theta in schedule:
-        for rnd in range(rounds_per_level):
+    rounds = ((rounds_per_level,) * len(schedule)
+              if isinstance(rounds_per_level, int)
+              else tuple(rounds_per_level))
+    for lvl_i, theta in enumerate(schedule):
+        for rnd in range(rounds[lvl_i]):
             mean = tables()
             mean_px = mean[lab]
             fin_px = fin[lab]

@@ -104,7 +104,10 @@ def _apply_overrides(obj, pairs, flag, setter):
             val = (None if raw.lower() in ("none", "auto")
                    else raw.lower() in ("1", "true", "yes"))
         elif isinstance(cur, int):
-            val = int(raw)
+            # int fields accept a comma tuple (per-level counts, e.g.
+            # preseg_rounds_per_level=24,2,2).
+            val = (tuple(int(x) for x in raw.split(",") if x)
+                   if "," in raw else int(raw))
         elif isinstance(cur, float):
             val = float(raw)
         elif isinstance(cur, tuple):
