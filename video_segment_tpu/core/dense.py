@@ -584,6 +584,7 @@ class DenseSegmentation:
         # the same program as `label`, so this costs nothing extra — but a
         # later np.asarray would block behind whatever device work the
         # region thread has queued in the meantime.
+        solve_diag = res.diag
         res = ov.OversegResult(label=None, constr=np.asarray(res.constr),
                                size=np.asarray(res.size),
                                orig=np.asarray(res.orig))
@@ -594,6 +595,13 @@ class DenseSegmentation:
                   f"{t_solve0 - t_pre0:.2f}s solve "
                   f"({'constrained' if constraints is not None else 'free'})"
                   f" {t_solve1 - t_solve0:.2f}s", file=sys.stderr, flush=True)
+        if solve_diag is not None:
+            import sys
+            dg = np.asarray(solve_diag)
+            rows = " ".join(f"L{i}:cap={c} r={r} act={a}"
+                            for i, (c, r, a) in enumerate(dg))
+            print(f"[solve-diag] chunk {self._chunk_id} {rows}",
+                  file=sys.stderr, flush=True)
         if os.environ.get("VST_VERBOSE"):
             # Merge statistics in the spirit of the reference's per-run
             # summary (segmentation_graph.h:452-462): region count, share

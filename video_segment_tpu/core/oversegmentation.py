@@ -289,6 +289,11 @@ class OversegResult(NamedTuple):
     label16: jnp.ndarray | None = None  # (T,H,W) uint16 final slot per voxel
     lut: jnp.ndarray | None = None      # (cap,) int32 slot -> root voxel id
     nsink: jnp.ndarray | None = None    # () int32 count of sink pixels
+    # VST_SOLVE_DIAG=1 only (env-gated at trace time; default programs are
+    # unchanged): per schedule level [table cap, merge rounds used, live
+    # regions after the level] — the solve's cost structure, since every
+    # table round costs O(cap * K).
+    diag: jnp.ndarray | None = None     # (n_levels, 3) int32
 
 
 def region_attrs(res: OversegResult, roots):
@@ -1516,9 +1521,9 @@ def _finish_table_solve(ts, tab, memb, orig_slot, init_label, shape3,
                              jnp.where(moved > 0, 0, idle + 1))
             return st, i + 1, idle
 
-        ts, _, _ = jax.lax.while_loop(cond, body,
-                                      (ts, jnp.int32(0), jnp.int32(0)))
-        return ts
+        ts, n_used, _ = jax.lax.while_loop(cond, body,
+                                           (ts, jnp.int32(0), jnp.int32(0)))
+        return ts, n_used
 
     if params.two_stage:
         # Spatial-only pre-pass over the whole schedule
@@ -1531,9 +1536,9 @@ def _finish_table_solve(ts, tab, memb, orig_slot, init_label, shape3,
         ptn_s, pbk_s = _topk_edges(tab_sp, params.edge_topk)
 
         def level_body_s(l, ts):
-            ts = run_rounds(ts, thetas[l], level_rounds[l],
-                            jnp.int32(MODE_MERGE), ptn_s, pbk_s,
-                            end_tab=tab_sp)
+            ts, _ = run_rounds(ts, thetas[l], level_rounds[l],
+                               jnp.int32(MODE_MERGE), ptn_s, pbk_s,
+                               end_tab=tab_sp)
             return _table_level_end(ts, tab_sp,
                                     thetas[l], nseg0, nseg0 - 1, params)
 
@@ -1553,6 +1558,9 @@ def _finish_table_solve(ts, tab, memb, orig_slot, init_label, shape3,
     fb_slot = jnp.zeros(nseg0, jnp.int32)
     l = jnp.int32(0)
     ptn = pbk = None
+    import os
+    diag = (jnp.zeros((int(thetas.shape[0]), 3), jnp.int32)
+            if os.environ.get("VST_SOLVE_DIAG") else None)
     for pi, cap in enumerate(caps):
         sink = cap - 1
         if pi > 0:
@@ -1576,7 +1584,7 @@ def _finish_table_solve(ts, tab, memb, orig_slot, init_label, shape3,
         slots_c = jnp.arange(cap, dtype=jnp.int32)
 
         def cond(carry, next_cap=next_cap):
-            ts_, l_, act_ = carry
+            ts_, l_, act_, _dg = carry
             go = l_ < n_levels
             if next_cap:
                 go = go & (act_ > next_cap - 2)
@@ -1584,31 +1592,35 @@ def _finish_table_solve(ts, tab, memb, orig_slot, init_label, shape3,
 
         def body(carry, ptn=ptn, pbk=pbk, end_tab=end_tab, cap=cap,
                  sink=sink, slots_c=slots_c):
-            ts_, l_, act_ = carry
-            ts_ = run_rounds(ts_, thetas[l_], level_rounds[l_],
-                             jnp.int32(MODE_MERGE), ptn, pbk,
-                             end_tab=end_tab)
+            ts_, l_, act_, dg = carry
+            ts_, n_used = run_rounds(ts_, thetas[l_], level_rounds[l_],
+                                     jnp.int32(MODE_MERGE), ptn, pbk,
+                                     end_tab=end_tab)
             ts_ = _table_level_end(ts_, end_tab, thetas[l_], cap, sink,
                                    params)
             if params.min_size_interleave and params.min_region_size > 1:
-                ts_ = run_rounds(ts_, thetas[l_],
-                                 jnp.int32(params.min_size_interleave),
-                                 jnp.int32(MODE_MIN_SIZE), ptn, pbk)
+                ts_, _ = run_rounds(ts_, thetas[l_],
+                                    jnp.int32(params.min_size_interleave),
+                                    jnp.int32(MODE_MIN_SIZE), ptn, pbk)
             act_ = jnp.sum(((ts_.label == slots_c)
                             & (ts_.size > 0)).astype(jnp.int32))
-            return ts_, l_ + 1, act_
+            if dg is not None:
+                dg = dg.at[l_].set(
+                    jnp.stack([jnp.int32(cap), n_used, act_]))
+            return ts_, l_ + 1, act_, dg
 
         active0 = jnp.sum(((ts.label == slots_c)
                            & (ts.size > 0)).astype(jnp.int32))
         with jax.named_scope(f"overseg_schedule_phase_{cap}"):
-            ts, l, _ = jax.lax.while_loop(cond, body, (ts, l, active0))
+            ts, l, _, diag = jax.lax.while_loop(
+                cond, body, (ts, l, active0, diag))
 
     cap_f = caps[-1]
     sink_f = cap_f - 1
     if params.min_region_size > 1:
-        ts = run_rounds(ts, jnp.int32(NUM_BUCKETS),
-                        jnp.int32(params.min_size_rounds),
-                        jnp.int32(MODE_MIN_SIZE), ptn, pbk)
+        ts, _ = run_rounds(ts, jnp.int32(NUM_BUCKETS),
+                           jnp.int32(params.min_size_rounds),
+                           jnp.int32(MODE_MIN_SIZE), ptn, pbk)
 
     if has_constraints:
         ts = _merge_constrained(ts, params.max_constraints, cap_f, params)
@@ -1632,7 +1644,8 @@ def _finish_table_solve(ts, tab, memb, orig_slot, init_label, shape3,
                          lut=orig_min if can16 else None,
                          nsink=(jnp.sum((root_px == sink_f)
                                         .astype(jnp.int32))
-                                if can16 else None))
+                                if can16 else None),
+                         diag=diag)
 
 
 def _boundary_edges(vol, memb_g, B: int, bh: int, G: int,
