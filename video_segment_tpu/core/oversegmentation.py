@@ -223,13 +223,18 @@ class OversegParams(NamedTuple):
     # Depth-1 hooking in the TILE preseg's merge rounds (the in-tile
     # counterpart of pair_merge below; texture cells mostly form in-tile,
     # so in-tile chain collapse is the larger share of the stale-mean
-    # over-merge).  Costs one extra distribute per round.  Default on
-    # since the round-5 sweep B: F at levels 0/0.4/0.75 went
-    # 0.713/0.713/0.647 -> 0.812/0.758/0.664 (sweep_r5b.json) — the
-    # single largest quality lever found this round; texture cells stop
-    # collapsing through stale means, matching the reference's
-    # re-evaluate-after-every-merge order (segmentation_graph.h:339-463).
-    preseg_pair_merge: bool = True
+    # over-merge).  QUALITY KNOB, off by default: the round-5 sweeps
+    # measured F at levels 0/0.4/0.75 of 0.812/0.758/0.664 with it on
+    # (vs 0.713/0.713/0.647 default) — the largest quality lever found,
+    # matching the reference's re-evaluate-after-every-merge order
+    # (segmentation_graph.h:339-463) by leaving ~700k tiny fragments
+    # per 480p chunk for the global solver's whole-region statistics.
+    # That granularity costs ~4.5x in the global solve (every coarser
+    # point loses the F gain: sweeps C/D/E, BENCH_NOTES round 5), which
+    # puts all bench configs below the CPU baseline, so it ships as an
+    # opt-in (--solver_param preseg_pair_merge=1) until the supertile
+    # phase-1.5 solve makes it affordable (ROADMAP).
+    preseg_pair_merge: bool = False
     # Depth-1 hooking in global merge rounds: cancel hooks whose target
     # also hooks, so every merge is tested against current statistics (no
     # chain collapse through stale means — see _apply_merge).  Extra rounds,
@@ -1399,14 +1404,20 @@ def _table_phase_caps(nseg0: int) -> tuple:
     Every schedule round costs O(cap * K) gathers, but the live region
     count collapses within the first levels; recompacting the table
     mid-schedule (see _recompact_table) cuts the dominant solve cost.
-    Caps quarter down to a floor, quantized so the compiled-program count
-    per resolution stays small.  A (pathological) solve still carrying
-    more live regions than a cap when the schedule ends degrades the
-    overflow regions to their merged-so-far labels via the sink — the
-    same overflow contract the initial table already has."""
+    Caps halve down to a floor, quantized so the compiled-program count
+    per resolution stays small.  Halving (not quartering) matters for
+    fine presegs: with ~700k seeds the live count after L0 lands just
+    above a quarter-step boundary and a second level runs in the full
+    seed-sized table (solve-diag, round 5); a denser ladder recompacts
+    instead, and phases whose cap the live count already undershoots
+    pass through with zero levels (one O(cap) recompact each).  A
+    (pathological) solve still carrying more live regions than a cap
+    when the schedule ends degrades the overflow regions to their
+    merged-so-far labels via the sink — the same overflow contract the
+    initial table already has."""
     caps = [nseg0]
     while True:
-        tgt = max(caps[-1] // 4, _PHASE_FLOOR)
+        tgt = max(caps[-1] // 2, _PHASE_FLOOR)
         nxt = -(-tgt // _PHASE_Q) * _PHASE_Q + 1
         if nxt >= caps[-1]:
             return tuple(caps)
