@@ -247,6 +247,27 @@ class OversegParams(NamedTuple):
     # blob, flattening texture mosaics the golden keeps at ~min-size
     # granularity.  Sweep knob, independent of pair_merge.
     pair_merge_minsize: bool = False
+    # Supertile-scoped early schedule levels: during the first `st_levels`
+    # schedule levels, merge rounds admit only FREE region pairs whose
+    # current roots lie in the same (st_h, st_w) supertile of the chunk
+    # volume (constrained pairs wait for level st_levels, like
+    # cross-supertile edges).  Level-end failure scans stay GLOBAL
+    # (fins from the full edge set — the round-5 sweeps showed local FINS
+    # at small scope freeze the wrong boundaries, while merge LOCALITY by
+    # itself is benign at supertile scope).  Cross-supertile edges simply
+    # wait: they are re-tested at level `st_levels` with the merged
+    # statistics, like any edge the schedule has not yet reached.  The
+    # point is cost, not semantics: with fine presegs (preseg_pair_merge),
+    # the early levels own ~90% of live-region collapse, and a
+    # supertile-local round can run VMEM-resident (see ops/tile_table) at
+    # a fraction of the O(cap * K) gather cost of the global rounds.
+    st_levels: int = 0
+    st_h: int = 64
+    st_w: int = 256
+    # Run the gated levels' merge rounds in the Pallas supertile-table
+    # kernel instead of masked global table rounds (requires st_levels>0).
+    # None = auto (kernel on TPU, masked rounds elsewhere).
+    st_kernel: bool | None = None
     # Extract the region adjacency with the per-tile Pallas kernel
     # (ops/tile_extract) instead of O(pixels) packed segment-min scatters
     # (the solve's single largest device phase, BENCH_NOTES round 3):
@@ -903,13 +924,17 @@ def _topk_edges(tab, k):
 
 
 def _table_round(ts: SolverState, ptn, pbk, theta, up, mode, nseg, sink,
-                 p: OversegParams):
+                 p: OversegParams, sup=None, st_on=False):
     """One Boruvka round over the region edge table.
 
     ts.label is the current root per slot (fully path-compressed).  Edges
     stay anchored at their original extraction slot; merged regions see the
     union of member-slot edges through the segment-min by current root.
     Admissibility matches `_round` (segmentation_graph.h:383-439).
+
+    `sup` (per-slot supertile id) with `st_on` (traced bool) restricts
+    regular merges to same-supertile pairs (OversegParams.st_levels);
+    constrained pairs are exempt.
     """
     root = ts.label
     k = ptn.shape[1]
@@ -954,6 +979,14 @@ def _table_round(ts: SolverState, ptn, pbk, theta, up, mode, nseg, sink,
     constr_same = (~either_free & (own_constr[:, None] == nb_constr)
                    & (dd <= sthr))
     adm_merge = (pbk <= theta) & (regular | constr_same)
+    if sup is not None:
+        # Gated levels admit only FREE same-supertile pairs: constrained
+        # pairs wait for level st_levels like cross-supertile edges (the
+        # supertile kernel carries no constraint state, so the masked
+        # rounds must defer exactly the same pair set).
+        st_ok = ((sup[own][:, None] == sup[a2])
+                 & (own_constr[:, None] < 0) & (nb_constr < 0))
+        adm_merge = adm_merge & (st_ok | ~st_on)
     both_constr_diff = (~either_free) & (own_constr[:, None] != nb_constr)
     own_small = own_size < p.min_region_size
     # theta-gated like regular merges: interleaved min-size rounds only
@@ -1506,7 +1539,7 @@ def _finish_table_solve(ts, tab, memb, orig_slot, init_label, shape3,
     n_levels = thetas.shape[0]
 
     def run_rounds(ts, theta, max_rounds, mode, p_tab, b_tab,
-                   end_tab=None):
+                   end_tab=None, sup=None, st_on=False):
         cap = p_tab.shape[0]
         sink = cap - 1
         # `end_tab` is only passed at MERGE call sites; with
@@ -1527,7 +1560,7 @@ def _finish_table_solve(ts, tab, memb, orig_slot, init_label, shape3,
                                       params)
             st, moved, cands = _table_round(st, p_tab, b_tab, theta,
                                             (i % 2) == 0, mode, cap, sink,
-                                            params)
+                                            params, sup=sup, st_on=st_on)
             idle = jnp.where(cands == 0, 2,
                              jnp.where(moved > 0, 0, idle + 1))
             return st, i + 1, idle
@@ -1535,6 +1568,16 @@ def _finish_table_solve(ts, tab, memb, orig_slot, init_label, shape3,
         ts, n_used, _ = jax.lax.while_loop(cond, body,
                                            (ts, jnp.int32(0), jnp.int32(0)))
         return ts, n_used
+
+    def _sup_ids(orig, cap):
+        """Per-slot supertile id from the slot's original root voxel."""
+        n_sx = -(-w // params.st_w)
+        tt = orig // (h * w)
+        rem = orig % (h * w)
+        sid = ((tt * ((h + params.st_h - 1) // params.st_h)
+                + (rem // w) // params.st_h) * n_sx
+               + (rem % w) // params.st_w)
+        return jnp.minimum(sid, jnp.int32(_I32MAX - 1))
 
     if params.two_stage:
         # Spatial-only pre-pass over the whole schedule
@@ -1601,12 +1644,15 @@ def _finish_table_solve(ts, tab, memb, orig_slot, init_label, shape3,
                 go = go & (act_ > next_cap - 2)
             return go
 
+        sup = (_sup_ids(orig_slot, cap) if params.st_levels > 0 else None)
+
         def body(carry, ptn=ptn, pbk=pbk, end_tab=end_tab, cap=cap,
-                 sink=sink, slots_c=slots_c):
+                 sink=sink, slots_c=slots_c, sup=sup):
             ts_, l_, act_, dg = carry
             ts_, n_used = run_rounds(ts_, thetas[l_], level_rounds[l_],
                                      jnp.int32(MODE_MERGE), ptn, pbk,
-                                     end_tab=end_tab)
+                                     end_tab=end_tab, sup=sup,
+                                     st_on=l_ < params.st_levels)
             ts_ = _table_level_end(ts_, end_tab, thetas[l_], cap, sink,
                                    params)
             if params.min_size_interleave and params.min_region_size > 1:
