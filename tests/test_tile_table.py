@@ -87,6 +87,36 @@ def test_kernel_matches_oracle_heavy_merging():
     np.testing.assert_array_equal(got, want)
 
 
+def test_st_kernel_matches_masked_rounds():
+    """Full solve: Pallas supertile path == masked global rounds.
+
+    Quantized colors (multiples of 1/64) make both paths' f32 statistics
+    exact, so the gated levels' different aggregation order (one-hot dots
+    vs incremental segment sums) cannot flip a merge test and the final
+    labels are identical."""
+    from video_segment_tpu.core import oversegmentation as ov
+
+    rng = np.random.default_rng(5)
+    t, h, w = 3, 32, 256
+    # Flat quantized patches: neighbor contrasts are multiples of 1/32,
+    # mixing sub-threshold (merge) and supra-threshold (fail) edges.
+    base = (rng.integers(0, 33, (t, h // 8, w // 16, 3))
+            .astype(np.float32) / 32.0)
+    vol = np.repeat(np.repeat(base, 8, 1), 16, 2)
+    volj = jnp.asarray(vol)
+    n_pix = t * h * w
+    common = dict(table_slots=n_pix, st_levels=3, st_h=16, st_w=128,
+                  st_slots=2048, min_region_size=0)
+    p_mask = ov.OversegParams(st_kernel=False, **common)
+    p_kern = ov.OversegParams(st_kernel=True, **common)
+    res_m = ov.oversegment(volj, params=p_mask)
+    res_k = ov.oversegment(volj, params=p_kern)
+    lab_m = np.asarray(res_m.label)
+    lab_k = np.asarray(res_k.label)
+    assert len(np.unique(lab_m)) < n_pix // 4  # merging actually happened
+    np.testing.assert_array_equal(lab_k, lab_m)
+
+
 def test_blocked_layout_roundtrip():
     rng = np.random.default_rng(3)
     nseg, n_sup, s_cap = 1000, 7, 192

@@ -266,8 +266,14 @@ class OversegParams(NamedTuple):
     st_w: int = 256
     # Run the gated levels' merge rounds in the Pallas supertile-table
     # kernel instead of masked global table rounds (requires st_levels>0).
-    # None = auto (kernel on TPU, masked rounds elsewhere).
+    # None = auto (kernel on TPU, masked rounds elsewhere).  The kernel
+    # requires the color_mean descriptor without gradient trait or
+    # two_stage; other configurations fall back to masked rounds.
     st_kernel: bool | None = None
+    # Blocked slots per supertile for the kernel (multiple of 128).  A
+    # supertile's seeds beyond the cap stay unmerged through the gated
+    # levels (they join at level st_levels), like cross-supertile pairs.
+    st_slots: int = 4096
     # Extract the region adjacency with the per-tile Pallas kernel
     # (ops/tile_extract) instead of O(pixels) packed segment-min scatters
     # (the solve's single largest device phase, BENCH_NOTES round 3):
@@ -1528,6 +1534,128 @@ def _recompact_table(ts, tab, o2n, fb_slot, orig_slot, new_cap: int):
     return ts2, tab2, o2n2, fb_slot2, orig2
 
 
+def _sup_ids_hw(orig, h, w, params):
+    """Per-slot supertile id from the slot's original root voxel."""
+    n_sx = -(-w // params.st_w)
+    tt = orig // (h * w)
+    rem = orig % (h * w)
+    sid = ((tt * ((h + params.st_h - 1) // params.st_h)
+            + (rem // w) // params.st_h) * n_sx
+           + (rem % w) // params.st_w)
+    return jnp.minimum(sid, jnp.int32(_I32MAX - 1))
+
+
+def _st_kernel_levels(ts, tab, orig_slot, shape3, params, diag):
+    """Run schedule levels 0..st_levels-1 with the Pallas supertile-table
+    kernel (ops/tile_table): merge rounds VMEM-resident per (st_h, st_w)
+    supertile, level-end failure scans GLOBAL over the full edge table
+    (the masked-round semantics of `_table_round` with `sup`; see the
+    st_levels comment on OversegParams).  Returns the updated state with
+    all statistics re-aggregated from seed slots per level."""
+    from video_segment_tpu.ops import tile_table as tt
+
+    t, h, w = shape3
+    nseg0 = ts.label.shape[0]
+    sink = nseg0 - 1
+    n_sup = t * ((h + params.st_h - 1) // params.st_h) \
+        * ((w + params.st_w - 1) // params.st_w)
+    s_cap = params.st_slots
+    sr = s_cap // 128
+    interpret = jax.default_backend() != "tpu"
+
+    sup = _sup_ids_hw(orig_slot, h, w, params).at[sink].set(n_sup)
+    g2b, b2g = tt.blocked_layout(sup, n_sup, s_cap)
+
+    # Seed statistics (the entry state is the fresh table: every row is a
+    # seed, constraint groups already pre-merged into single rows).
+    seed_csum, seed_size, seed_sqsum = ts.csum, ts.size, ts.sqsum
+    size_b = seed_size[b2g].reshape(n_sup, sr, 128)
+    c_b = seed_csum[b2g]
+    c0_b = c_b[:, 0].reshape(n_sup, sr, 128)
+    c1_b = c_b[:, 1].reshape(n_sup, sr, 128)
+    c2_b = c_b[:, 2].reshape(n_sup, sr, 128)
+    blocked_b = ((ts.constr[b2g] >= 0) | ts.frozen[b2g]
+                 | (seed_size[b2g] <= 0.0)).astype(jnp.int32) \
+        .reshape(n_sup, sr, 128)
+
+    # Blocked edge planes from the global per-slot top-K: keep only
+    # same-supertile pairs with both endpoints placed; the rest wait for
+    # the global levels (identical to the masked-round deferral).
+    ptn, pbk = _topk_edges(tab, params.edge_topk)
+    k_edges = ptn.shape[1]
+    pg = g2b[jnp.minimum(ptn, sink)]
+    own_b = g2b
+    same = ((ptn < _I32MAX) & (pg >= 0) & (own_b[:, None] >= 0)
+            & (pg // s_cap == own_b[:, None] // s_cap))
+    packed = jnp.where(
+        same, (jnp.minimum(pbk, NUM_BUCKETS - 2) << tt._PBITS)
+        | (pg % s_cap), _I32MAX)
+    e_scatter = jnp.full((n_sup * s_cap + 1, k_edges), _I32MAX, jnp.int32) \
+        .at[jnp.where(own_b >= 0, own_b, n_sup * s_cap)].set(packed)[:-1]
+    edges_b = e_scatter.reshape(n_sup, sr, 128, k_edges) \
+        .transpose(0, 3, 1, 2)
+
+    # Launch-time local roots; positions whose root is blocked or
+    # unplaced stay identity (they never merge in-kernel anyway).
+    pos = jnp.arange(n_sup * s_cap, dtype=jnp.int32)
+    self_r = (pos % s_cap) // 128
+    self_c = pos % 128
+    slots_c = jnp.arange(nseg0, dtype=jnp.int32)
+    if nseg0 <= (1 << _PARTNER_BITS):
+        end_tab = tab
+    else:
+        bits, bshift = _pack_spec(nseg0)
+        end_tab = jnp.where(ptn < _I32MAX,
+                            ((jnp.minimum(pbk, NUM_BUCKETS - 2)
+                              >> bshift) << bits) | ptn, _I32MAX).T
+
+    for l in range(params.st_levels):
+        root_g = ts.label[b2g]
+        root_b = g2b[root_g]
+        ok = (root_b >= 0) & (root_b // s_cap == pos // s_cap)
+        labr = jnp.where(ok, (root_b % s_cap) // 128, self_r) \
+            .reshape(n_sup, sr, 128)
+        labc = jnp.where(ok, root_b % 128, self_c).reshape(n_sup, sr, 128)
+        fin_b = ts.fin[root_g].reshape(n_sup, sr, 128)
+        labr, labc = tt.tile_table_rounds(
+            labr, labc, size_b, c0_b, c1_b, c2_b, fin_b, blocked_b,
+            edges_b, theta=int(params.schedule[l]),
+            rounds=int(params.max_rounds_per_level),
+            merge_threshold=params.merge_threshold,
+            force_merge_weight=params.force_merge_weight,
+            metric=params.metric, interpret=interpret)
+        # Sync kernel labels into the global table and re-aggregate all
+        # per-root statistics from seeds (constr/fin/frozen read through
+        # the CURRENT roots — level_end may have unconstrained regions, so
+        # stale non-root rows must not be consulted).
+        lr = (labr * 128 + labc).reshape(n_sup, s_cap)
+        new_root_pos = (jnp.arange(n_sup, dtype=jnp.int32)[:, None] * s_cap
+                        + lr).reshape(-1)
+        new_root_g = b2g[new_root_pos]
+        new_label = jnp.where(g2b >= 0, new_root_g[
+            jnp.maximum(g2b, 0)], ts.label)
+        old_root = ts.label
+        cols = [seed_csum, seed_size[:, None],
+                ts.frozen[old_root].astype(jnp.float32)[:, None],
+                seed_sqsum]
+        stats = jax.ops.segment_sum(jnp.concatenate(cols, axis=1),
+                                    new_label, num_segments=nseg0)
+        constr = jax.ops.segment_max(ts.constr[old_root], new_label,
+                                     num_segments=nseg0)
+        fin = jax.ops.segment_min(ts.fin[old_root], new_label,
+                                  num_segments=nseg0)
+        ts = SolverState(new_label, stats[:, 0:3], stats[:, 3], constr,
+                         fin, stats[:, 4] > 0, stats[:, 5:8], None)
+        ts = _table_level_end(ts, end_tab, jnp.int32(params.schedule[l]),
+                              nseg0, sink, params)
+        if diag is not None:
+            act = jnp.sum(((ts.label == slots_c)
+                           & (ts.size > 0)).astype(jnp.int32))
+            diag = diag.at[l].set(
+                jnp.stack([jnp.int32(s_cap), jnp.int32(0), act]))
+    return ts, diag
+
+
 def _finish_table_solve(ts, tab, memb, orig_slot, init_label, shape3,
                         params, thetas, level_rounds, has_constraints):
     """Shared tail of the edge-table solver: top-K edges, schedule levels
@@ -1570,14 +1698,7 @@ def _finish_table_solve(ts, tab, memb, orig_slot, init_label, shape3,
         return ts, n_used
 
     def _sup_ids(orig, cap):
-        """Per-slot supertile id from the slot's original root voxel."""
-        n_sx = -(-w // params.st_w)
-        tt = orig // (h * w)
-        rem = orig % (h * w)
-        sid = ((tt * ((h + params.st_h - 1) // params.st_h)
-                + (rem // w) // params.st_h) * n_sx
-               + (rem % w) // params.st_w)
-        return jnp.minimum(sid, jnp.int32(_I32MAX - 1))
+        return _sup_ids_hw(orig, h, w, params)
 
     if params.two_stage:
         # Spatial-only pre-pass over the whole schedule
@@ -1615,6 +1736,16 @@ def _finish_table_solve(ts, tab, memb, orig_slot, init_label, shape3,
     import os
     diag = (jnp.zeros((int(thetas.shape[0]), 3), jnp.int32)
             if os.environ.get("VST_SOLVE_DIAG") else None)
+    use_st_kernel = (
+        params.st_levels > 0 and not params.two_stage
+        and params.descriptor == "color_mean" and not params.gradient_trait
+        and (params.st_kernel if params.st_kernel is not None
+             else jax.default_backend() == "tpu"))
+    if use_st_kernel:
+        with jax.named_scope("overseg_st_kernel"):
+            ts, diag = _st_kernel_levels(ts, tab, orig_slot, shape3,
+                                         params, diag)
+        l = jnp.int32(params.st_levels)
     for pi, cap in enumerate(caps):
         sink = cap - 1
         if pi > 0:
@@ -1644,7 +1775,11 @@ def _finish_table_solve(ts, tab, memb, orig_slot, init_label, shape3,
                 go = go & (act_ > next_cap - 2)
             return go
 
-        sup = (_sup_ids(orig_slot, cap) if params.st_levels > 0 else None)
+        # Masked-round gating only when the kernel is NOT handling the
+        # gated levels (with the kernel, `l` starts at st_levels and no
+        # rung ever executes a gated level).
+        sup = (_sup_ids(orig_slot, cap)
+               if params.st_levels > 0 and not use_st_kernel else None)
 
         def body(carry, ptn=ptn, pbk=pbk, end_tab=end_tab, cap=cap,
                  sink=sink, slots_c=slots_c, sup=sup):
